@@ -17,4 +17,7 @@ def _configure_jax():
 
 _configure_jax()
 
-from .session import Session, connect_to_db, create_in_memory  # noqa: E402,F401
+try:
+    from .session import Session, connect_to_db, create_in_memory  # noqa: E402,F401
+except ImportError:  # session not built yet during bootstrap
+    pass

@@ -1,0 +1,83 @@
+"""Order-preserving integer key images for sorting/grouping.
+
+Every SQL type maps to integer tensors whose ascending order equals the SQL
+ordering (strings already have this property by sorted-dictionary
+construction, storage/column.py). Used by sort, group-by, set ops and joins
+(reference analogue: the comparator/eq/combine callback functions the
+SubOpToControlFlow lowering generates per state, SubOpToControlFlow.cpp:
+1685,1800; TPU-natively we need total orders as data, not code)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..runtime.vtable import SCol
+from ..sql.types import K
+
+
+def order_image(c: SCol) -> jnp.ndarray:
+    """Signed-int image with the same ascending order as the column values.
+    (NULLs are not encoded here — callers pair this with a null flag.)"""
+    d = c.data
+    if d.dtype == jnp.bool_:
+        return d.astype(jnp.int32)
+    if d.dtype == jnp.float64:
+        bits = d.view(jnp.int64)
+        return jnp.where(bits < 0, jnp.int64(-0x8000000000000000) - 1 - bits, bits)
+    if d.dtype == jnp.float32:
+        bits = d.view(jnp.int32)
+        return jnp.where(bits < 0, jnp.int32(-0x80000000) - 1 - bits, bits)
+    return d
+
+
+def null_flag(c: SCol, nulls_first: bool) -> jnp.ndarray | None:
+    if c.valid is None:
+        return None
+    return jnp.where(c.valid, 1, 0) if nulls_first else jnp.where(c.valid, 0, 1)
+
+
+def descending(img: jnp.ndarray) -> jnp.ndarray:
+    """Flip order without overflow: bitwise not."""
+    if img.dtype == jnp.bool_:
+        return ~img
+    return ~img
+
+
+def sort_permutation(key_cols: list[tuple[SCol, bool, bool | None]], n: int) -> jnp.ndarray:
+    """Stable sort permutation for multi-key ORDER BY.
+
+    key_cols: (col, ascending, nulls_first?) — nulls_first None means SQL
+    default (last when ascending, first when descending)."""
+    import jax
+
+    operands = []
+    for c, asc, nf in key_cols:
+        if nf is None:
+            nf = not asc
+        f = null_flag(c, nf)
+        if f is not None:
+            operands.append(f)
+        img = order_image(c)
+        if not asc:
+            img = descending(img)
+        operands.append(img)
+    iota = jnp.arange(n, dtype=jnp.int64)
+    operands.append(iota)
+    res = jax.lax.sort(operands, num_keys=len(operands))  # full-key: stable
+    return res[-1]
+
+
+def grouping_images(key_cols: list[SCol]) -> list[jnp.ndarray]:
+    """Key images for grouping: NULL is a regular distinct value (SQL GROUP BY
+    semantics: NULLs form one group)."""
+    out = []
+    for c in key_cols:
+        f = null_flag(c, nulls_first=False)
+        if f is not None:
+            out.append(f)
+        img = order_image(c)
+        if c.valid is not None:
+            # neutralize NULL payloads so all NULLs compare equal
+            img = jnp.where(c.valid, img, jnp.zeros_like(img))
+        out.append(img)
+    return out

@@ -1,0 +1,204 @@
+"""Session: the embedding API (parse -> bind -> optimize -> execute).
+
+TPU-native equivalent of the reference's Session + QueryExecuter
+(reference: src/runtime/Session.cpp, src/execution/Execution.cpp:250-401 —
+frontend -> optimizer -> lowering -> backend -> result processing with phase
+timing). The Python package mirrors the reference pip API
+(reference: tools/python/lingodb/__init__.py:44-67 — Connection.sql,
+connect_to_db, create_in_memory)."""
+
+from __future__ import annotations
+
+import csv as csvmod
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from .catalog.catalog import Catalog, FunctionEntry
+from .opt.optimizer import optimize
+from .plan import logical as L
+from .runtime.executor import Executor
+from .runtime.result import ResultTable
+from .runtime.vtable import SCol
+from .sql import ast as A
+from .sql.binder import Binder, BindError
+from .sql.parser import parse_sql
+from .storage.column import Column
+from .utils import tracer
+from .utils.settings import get_setting
+
+
+class Session:
+    def __init__(self, db_dir: str | None = None):
+        self.catalog = Catalog(db_dir)
+        self.executor = Executor(self)
+        self._device_cache: dict[str, tuple[int, dict]] = {}
+
+    # ----------------------------------------------------------- public API
+    def sql(self, query: str):
+        """Execute SQL; returns ResultTable for queries, None for statements.
+        Multiple statements: executes all, returns the last query's result."""
+        stmts = parse_sql(query)
+        result = None
+        for stmt in stmts:
+            result = self._execute_statement(stmt)
+        return result
+
+    def sql_stmt(self, query: str) -> None:
+        self.sql(query)
+
+    def explain(self, query: str) -> str:
+        stmts = parse_sql(query)
+        binder = Binder(self.catalog)
+        plan = binder.bind_query(stmts[-1])
+        plan = optimize(plan, self.catalog)
+        return plan.pretty()
+
+    def close(self):
+        self.catalog.save()
+
+    # ------------------------------------------------------------ statements
+    def _execute_statement(self, stmt):
+        t = tracer.Timing()
+        if isinstance(stmt, A.SelectStmt):
+            with t.time("frontend"):
+                binder = Binder(self.catalog)
+                plan = binder.bind_query(stmt)
+            with t.time("QOpt"):
+                plan = optimize(plan, self.catalog)
+            with t.time("execution"):
+                res = self.executor.execute(plan)
+            if get_setting("sql.report_times"):
+                print(t.report())
+            return res
+        if isinstance(stmt, A.CreateTableStmt):
+            names = [c.name for c in stmt.columns]
+            types = [
+                c.type.as_nullable(not (c.not_null or c.primary_key))
+                for c in stmt.columns
+            ]
+            pk = stmt.primary_key or [c.name for c in stmt.columns if c.primary_key]
+            self.catalog.create_table(stmt.name, names, types, pk)
+            return None
+        if isinstance(stmt, A.DropTableStmt):
+            self.catalog.drop_table(stmt.name)
+            return None
+        if isinstance(stmt, A.InsertStmt):
+            return self._execute_insert(stmt)
+        if isinstance(stmt, A.CopyStmt):
+            return self._execute_copy(stmt)
+        if isinstance(stmt, A.SetStmt):
+            from .utils.settings import set_setting
+
+            set_setting(stmt.key, stmt.value)
+            return None
+        if isinstance(stmt, A.CreateFunctionStmt):
+            self.catalog.create_function(
+                FunctionEntry(stmt.name, stmt.arg_types, stmt.return_type,
+                              stmt.language, stmt.body)
+            )
+            return None
+        raise NotImplementedError(type(stmt).__name__)
+
+    def _execute_insert(self, stmt: A.InsertStmt):
+        entry = self.catalog.get_table(stmt.table)
+        if entry is None:
+            raise BindError(f"unknown table {stmt.table}")
+        target_cols = stmt.columns or entry.column_names
+        binder = Binder(self.catalog)
+        plan = binder.bind_query(stmt.query)
+        plan = optimize(plan, self.catalog)
+        res = self.executor.execute(plan)
+        # column-order mapping + type coercion to the table schema
+        rows = res.to_pylist()
+        from .ops.consteval import coerce_py
+
+        out_rows = []
+        cmap = {c: i for i, c in enumerate(target_cols)}
+        for r in rows:
+            full = []
+            for name, t in zip(entry.column_names, entry.column_types):
+                if name in cmap:
+                    v = r[cmap[name]]
+                    src_t = res.types[cmap[name]]
+                    full.append(None if v is None else coerce_py(v, src_t, t))
+                else:
+                    full.append(None)
+            out_rows.append(full)
+        # values arrive in physical representation already for decimals/dates
+        cols = []
+        for i, t in enumerate(entry.column_types):
+            vals = [r[i] for r in out_rows]
+            cols.append(_column_from_physical(t, vals))
+        entry.storage.append_columns(cols)
+        self._device_cache.pop(entry.name, None)
+        return None
+
+    def _execute_copy(self, stmt: A.CopyStmt):
+        entry = self.catalog.get_table(stmt.table)
+        if entry is None:
+            raise BindError(f"unknown table {stmt.table}")
+        delim = stmt.options.get("delimiter", ",")
+        nullstr = stmt.options.get("null", "")
+        escape = stmt.options.get("escape", None) or None
+        rows = []
+        with open(stmt.path, newline="") as f:
+            reader = csvmod.reader(f, delimiter=delim, escapechar=escape)
+            for rec in reader:
+                row = []
+                for v, t in zip(rec, entry.column_types):
+                    if v == nullstr and t.nullable:
+                        row.append(None)
+                    else:
+                        row.append(v)
+                rows.append(row)
+        entry.storage.append_rows(rows)
+        self._device_cache.pop(entry.name, None)
+        return None
+
+    # ----------------------------------------------------------- device data
+    def device_table(self, name: str) -> dict:
+        """Upload (and cache) a table's columns as device tensors.
+        (reference analogue: DataSourceIteration over in-memory Arrow chunks,
+        src/runtime/DataSourceIteration.cpp)"""
+        entry = self.catalog.get_table(name)
+        storage = entry.storage
+        cached = self._device_cache.get(name)
+        if cached is not None and cached[0] == storage.version:
+            return cached[1]
+        with tracer.Trace("runtime", f"upload:{name}"):
+            dev: dict = {"__num_rows__": storage.num_rows}
+            for cname, col in zip(storage.column_names, storage.columns):
+                data = jnp.asarray(col.data)
+                valid = None if col.valid is None else jnp.asarray(col.valid)
+                dev[cname] = SCol(col.type, data, valid, col.dictionary)
+        self._device_cache[name] = (storage.version, dev)
+        return dev
+
+
+def _column_from_physical(t, vals):
+    """Build a storage Column from already-physical values (post coerce_py)."""
+    n = len(vals)
+    valid = np.array([v is not None for v in vals], dtype=np.bool_)
+    all_valid = bool(valid.all())
+    if t.is_string:
+        from .storage.column import encode_strings
+
+        dictionary, codes = encode_strings(["" if v is None else str(v) for v in vals])
+        return Column(t, codes, None if all_valid else valid, dictionary)
+    from .storage.column import physical_dtype
+
+    arr = np.zeros(n, dtype=physical_dtype(t))
+    for i, v in enumerate(vals):
+        if v is not None:
+            arr[i] = v
+    return Column(t, arr, None if all_valid else valid)
+
+
+def create_in_memory() -> Session:
+    return Session(None)
+
+
+def connect_to_db(path: str) -> Session:
+    return Session(path)

@@ -106,9 +106,148 @@ class Parser:
                 return self.parse_set()
             if t.value == "drop":
                 return self.parse_drop()
+            if t.value == "from":
+                return self.parse_pipe_sql()
         if t.kind == "op" and t.value == "(":
             return self.parse_select()
         raise ParseError(f"unsupported statement start {t.value!r} at {t.pos}")
+
+    # ---- pipe-syntax SQL -------------------------------------------------------
+    # reference: PipeOperatorType handling in sql_analyzer.cpp:186-300 —
+    # FROM t |> WHERE ... |> JOIN ... |> AGGREGATE ... GROUP BY ... |> SELECT
+    # ... |> EXTEND ... |> ORDER BY ... |> LIMIT n. Desugared into nested
+    # SelectStmt nodes here.
+    def parse_pipe_sql(self) -> A.SelectStmt:
+        self.expect_kw("from")
+        stmt = A.SelectStmt(items=[A.SelectItem(A.Star(), None)])
+        stmt.from_refs = [self.parse_table_ref()]
+        while self.accept_op(","):
+            stmt.from_refs.append(self.parse_table_ref())
+        return self._parse_pipe_ops(stmt)
+
+    def _parse_pipe_ops(self, stmt: A.SelectStmt) -> A.SelectStmt:
+
+        def is_pristine():
+            return (
+                len(stmt.items) == 1
+                and isinstance(stmt.items[0].expr, A.Star)
+                and stmt.items[0].expr.table is None
+                and not stmt.group_by
+                and not stmt.order_by
+                and stmt.limit is None
+            )
+
+        def wrap():
+            nonlocal stmt
+            inner = stmt
+            stmt = A.SelectStmt(items=[A.SelectItem(A.Star(), None)])
+            stmt.from_refs = [A.SubqueryRef(inner, alias=f"__pipe{id(inner) % 9973}")]
+
+        while self.at_op("|>"):
+            self.next()
+            t = self.peek()
+            kw = t.value if t.kind in ("kw", "ident") else None
+            if kw == "where":
+                self.next()
+                cond = self.parse_expr()
+                if stmt.group_by or not is_pristine() and stmt.items[0].alias is not None:
+                    wrap()
+                if stmt.group_by:
+                    wrap()
+                stmt.where = cond if stmt.where is None else A.BinaryOp("and", stmt.where, cond)
+            elif kw == "select":
+                self.next()
+                if not is_pristine():
+                    wrap()
+                stmt.items = []
+                while True:
+                    stmt.items.append(self.parse_select_item())
+                    if not self.accept_op(","):
+                        break
+            elif kw == "extend":
+                # EXTEND appends computed columns; prior pipe SELECT items
+                # stay visible (they are plain projections, so appending to
+                # the same SELECT preserves semantics and name scoping)
+                self.next()
+                while True:
+                    stmt.items.append(self.parse_select_item())
+                    if not self.accept_op(","):
+                        break
+            elif kw == "aggregate":
+                self.next()
+                if not is_pristine():
+                    wrap()
+                aggs = []
+                while True:
+                    aggs.append(self.parse_select_item())
+                    if not self.accept_op(","):
+                        break
+                group_items = []
+                if self.accept_kw("group"):
+                    self.expect_kw("by")
+                    while True:
+                        group_items.append(self.parse_expr())
+                        if not self.accept_op(","):
+                            break
+                stmt.items = [A.SelectItem(g, None) for g in group_items] + aggs
+                stmt.group_by = group_items
+            elif kw in ("join", "inner", "left", "right", "full", "cross"):
+                if not is_pristine() or stmt.where is not None or stmt.group_by:
+                    wrap()
+                kind = "inner"
+                if kw != "join":
+                    kind = kw
+                    self.next()
+                    self.accept_kw("outer")
+                self.expect_kw("join")
+                right = self.parse_table_primary()
+                cond = None
+                using = []
+                if self.accept_kw("on"):
+                    cond = self.parse_expr()
+                elif self.accept_kw("using"):
+                    self.expect_op("(")
+                    while True:
+                        using.append(self.ident())
+                        if not self.accept_op(","):
+                            break
+                    self.expect_op(")")
+                stmt.from_refs = [
+                    A.JoinRef(kind, stmt.from_refs[0] if len(stmt.from_refs) == 1 else
+                              _fold_cross(stmt.from_refs), right, cond, using)
+                ]
+            elif kw == "order":
+                self.next()
+                self.expect_kw("by")
+                while True:
+                    e = self.parse_expr()
+                    item = A.OrderItem(e)
+                    if self.accept_kw("desc"):
+                        item.ascending = False
+                    else:
+                        self.accept_kw("asc")
+                    if self.accept_kw("nulls"):
+                        item.nulls_first = self.next().value == "first"
+                    stmt.order_by.append(item)
+                    if not self.accept_op(","):
+                        break
+            elif kw == "limit":
+                self.next()
+                stmt.limit = self.parse_expr()
+                if self.accept_kw("offset"):
+                    stmt.offset = self.parse_expr()
+            elif kw in ("union", "intersect", "except"):
+                op = kw
+                self.next()
+                if op == "union" and self.accept_kw("all"):
+                    op = "union_all"
+                else:
+                    self.accept_kw("distinct")
+                right = self.parse_select_core()
+                stmt = A.SelectStmt(set_op=op, left=stmt, right=right)
+            else:
+                raise ParseError(f"unsupported pipe operator {kw!r} at {t.pos}")
+        return stmt
 
     # ---- DDL / DML ------------------------------------------------------------
     def parse_create(self):
@@ -270,6 +409,8 @@ class Parser:
 
     # ---- SELECT ---------------------------------------------------------------
     def parse_select(self) -> A.SelectStmt:
+        if self.at_kw("from"):  # pipe-syntax subquery/statement
+            return self.parse_pipe_sql()
         ctes: list[A.CTE] = []
         if self.accept_kw("with"):
             self.accept_kw("recursive")
@@ -292,6 +433,8 @@ class Parser:
                     break
         stmt = self.parse_set_expr()
         stmt.ctes = ctes + stmt.ctes
+        if self.at_op("|>"):  # pipe operators may chain onto a regular SELECT
+            stmt = self._parse_pipe_ops(stmt)
         return stmt
 
     def parse_set_expr(self) -> A.SelectStmt:
@@ -445,7 +588,7 @@ class Parser:
     def parse_table_primary(self) -> A.TableRef:
         if self.at_op("("):
             self.next()
-            if self.at_kw("select", "with", "values") or self.at_op("("):
+            if self.at_kw("select", "with", "values", "from") or self.at_op("("):
                 # could be a (possibly parenthesized) query expression with set
                 # ops, or a parenthesized join tree — try query first, backtrack
                 save = self.i
@@ -455,7 +598,7 @@ class Parser:
                     alias, col_aliases = self._parse_alias()
                     return A.SubqueryRef(sub, alias or "", col_aliases)
                 except ParseError:
-                    if self.at_kw("select", "with", "values"):
+                    if self.at_kw("select", "with", "values", "from"):
                         raise
                     self.i = save
             ref = self.parse_table_ref()
@@ -566,7 +709,7 @@ class Parser:
                 continue
             if self.accept_kw("in"):
                 self.expect_op("(")
-                if self.at_kw("select", "with", "values"):
+                if self.at_kw("select", "with", "values", "from"):
                     sub = self.parse_select()
                     self.expect_op(")")
                     left = A.InSubquery(left, sub, negated)
@@ -632,7 +775,7 @@ class Parser:
             return A.Literal(t.value, Type.string())
         if t.kind == "op" and t.value == "(":
             self.next()
-            if self.at_kw("select", "with"):
+            if self.at_kw("select", "with", "from"):
                 sub = self.parse_select()
                 self.expect_op(")")
                 return A.ScalarSubquery(sub)
@@ -890,6 +1033,13 @@ _SOFT_KEYWORDS = {
 }
 
 _INTERVAL_UNITS = {"day", "days", "month", "months", "year", "years", "hour", "minute", "second"}
+
+
+def _fold_cross(refs: list) -> "A.TableRef":
+    out = refs[0]
+    for r in refs[1:]:
+        out = A.JoinRef("cross", out, r, None)
+    return out
 
 
 def parse_sql(sql: str) -> list:
