@@ -27,16 +27,23 @@ def _searchsorted(sorted_arr, vals, side):
     return jnp.searchsorted(sorted_arr, vals, side=side)
 
 
-def candidate_pairs(build_keys: list[SCol], probe_keys: list[SCol], n_build: int, n_probe: int):
+def candidate_pairs(build_keys: list[SCol], probe_keys: list[SCol], n_build: int, n_probe: int,
+                    null_safe: tuple = ()):
     """Return (probe_idx, build_idx) candidate pair arrays (device) and the
-    pair count (host int). Rows with NULL in any key never produce pairs."""
+    pair count (host int). Rows with NULL in a key never produce pairs —
+    except keys marked null_safe (IS NOT DISTINCT FROM semantics), whose NULLs
+    hash to a shared sentinel and therefore match each other."""
     if n_build == 0 or n_probe == 0:
         z = jnp.zeros((0,), jnp.int64)
         return z, z, 0
     hb = hashing.hash_columns(build_keys)
     hp = hashing.hash_columns(probe_keys)
-    bvalid = _all_valid(build_keys, n_build)
-    pvalid = _all_valid(probe_keys, n_probe)
+    if not null_safe:
+        null_safe = (False,) * len(build_keys)
+    strict_b = [c for c, ns in zip(build_keys, null_safe) if not ns]
+    strict_p = [c for c, ns in zip(probe_keys, null_safe) if not ns]
+    bvalid = _all_valid(strict_b, n_build)
+    pvalid = _all_valid(strict_p, n_probe)
     if bvalid is not None:
         # push NULL-keyed build rows to a sentinel bucket
         hb = jnp.where(bvalid, hb, jnp.uint64(0xFFFFFFFFFFFFFFFF))

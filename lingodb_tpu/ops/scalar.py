@@ -338,6 +338,19 @@ def eval_call(e: Call, env: dict[int, SCol]) -> SCol:
         return SCol(e.type, ~a.data.astype(jnp.bool_), a.valid)
     if op in ("eq", "neq", "lt", "lte", "gt", "gte"):
         return eval_compare(op, args[0], args[1], e.type)
+    if op == "nseq":  # null-safe equality: NULL == NULL is TRUE
+        a, b = args
+        c = eval_compare("eq", a, b, Type.bool_(True))
+        va = a.valid_mask() if a.valid is not None else None
+        vb = b.valid_mask() if b.valid is not None else None
+        both_valid = c.valid if c.valid is not None else None
+        eq_and_valid = c.data if both_valid is None else (c.data & both_valid)
+        if va is None and vb is None:
+            return SCol(e.type, c.data, None)
+        bn_a = ~va if va is not None else jnp.zeros((), jnp.bool_)
+        bn_b = ~vb if vb is not None else jnp.zeros((), jnp.bool_)
+        both_null = bn_a & bn_b if (va is not None and vb is not None) else jnp.zeros((), jnp.bool_)
+        return SCol(e.type, eq_and_valid | both_null, None)
     if op in ("add", "sub", "mul", "div", "mod"):
         return eval_arith(op, args[0], args[1], e.type)
     if op == "neg":

@@ -183,7 +183,7 @@ class Executor:
 
         lcids = {c.cid for c in op.left.output_cols()}
         rcids = {c.cid for c in op.right.output_cols()}
-        lkeys, rkeys = extract_equi_keys(op.predicate, lcids, rcids)
+        lkeys, rkeys, null_safe = extract_equi_keys(op.predicate, lcids, rcids)
 
         if not lkeys:
             # no equi keys: block nested loop via full cross product
@@ -199,7 +199,7 @@ class Executor:
                 lk.append(sc._bcast(a, nl))
                 rk.append(sc._bcast(b, nr))
             # probe with the left side, build on the right
-            pidx, bidx, total = joinops.candidate_pairs(rk, lk, nr, nl)
+            pidx, bidx, total = joinops.candidate_pairs(rk, lk, nr, nl, tuple(null_safe))
 
         # verify full predicate on candidate pairs
         if total > 0 and op.predicate is not None:
@@ -348,25 +348,27 @@ class Executor:
 # ---------------------------------------------------------------- helpers
 def extract_equi_keys(pred, lcids: set[int], rcids: set[int]):
     """Find hashable equi-key expression pairs in a join predicate.
-    Handles top-level conjuncts and (for OR predicates like TPC-H Q19)
-    equality conjuncts common to every disjunct
+    Handles top-level conjuncts (eq and null-safe nseq) and, for OR
+    predicates like TPC-H Q19, equality conjuncts common to every disjunct
     (reference: HashJoinUtils.cpp:21-278 equi-key extraction)."""
-    lkeys, rkeys = [], []
+    lkeys, rkeys, null_safe = [], [], []
     if pred is None:
-        return lkeys, rkeys
+        return lkeys, rkeys, null_safe
 
     def try_add(c):
-        if isinstance(c, Call) and c.op == "eq":
+        if isinstance(c, Call) and c.op in ("eq", "nseq"):
             a, b = c.args
             ua, ub = E.used_cols(a), E.used_cols(b)
             if ua and ub:
                 if ua <= lcids and ub <= rcids:
                     lkeys.append(a)
                     rkeys.append(b)
+                    null_safe.append(c.op == "nseq")
                     return True
                 if ua <= rcids and ub <= lcids:
                     lkeys.append(b)
                     rkeys.append(a)
+                    null_safe.append(c.op == "nseq")
                     return True
         return False
 
@@ -375,11 +377,6 @@ def extract_equi_keys(pred, lcids: set[int], rcids: set[int]):
             continue
         if isinstance(c, Call) and c.op == "or":
             # common equality across all branches (Q19 pattern)
-            branch_sets = [
-                {repr(x): x for x in E.conjuncts(b) if isinstance(b, (Call,))}
-                if not isinstance(b, Call) or True else {}
-                for b in c.args
-            ]
             branch_sets = []
             for b in c.args:
                 branch_sets.append({repr(x): x for x in E.conjuncts(b)})
@@ -388,7 +385,7 @@ def extract_equi_keys(pred, lcids: set[int], rcids: set[int]):
                 common &= set(bs)
             for key in common:
                 try_add(branch_sets[0][key])
-    return lkeys, rkeys
+    return lkeys, rkeys, null_safe
 
 
 def _unify_string_keys(a: SCol, b: SCol):

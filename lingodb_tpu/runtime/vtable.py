@@ -102,6 +102,8 @@ class VTable:
 
     def select_mask(self, mask: jax.Array) -> "VTable":
         """Compact rows where mask is True (one host sync for the count)."""
+        if mask.ndim == 0:
+            mask = jnp.broadcast_to(mask, (self.num_rows,))
         n = int(jnp.sum(mask))
         if n == self.num_rows:
             return self

@@ -117,11 +117,14 @@ class Binder:
     def __init__(self, catalog):
         self.catalog = catalog
         self._next_cid = 0
+        self._col_info: dict[int, ColInfo] = {}
 
     def fresh(self, name: str, t: Type) -> ColInfo:
         cid = self._next_cid
         self._next_cid += 1
-        return ColInfo(cid, name, t)
+        info = ColInfo(cid, name, t)
+        self._col_info[cid] = info
+        return info
 
     # -------------------------------------------------------------- top level
     def bind_query(self, stmt: A.SelectStmt) -> L.Materialize:
@@ -468,12 +471,13 @@ class Binder:
         out_cols: list[ColInfo] = []
         computed: list[tuple[ColInfo, BExpr]] = []
         bound_items: list[BExpr] = []
+        post_agg_ctx = (group_repl, agg_collect) if (group_repl is not None or agg_collect is not None) else None
         for e, alias, direct in items:
             if direct is not None:
                 out_cols.append(ColInfo(direct.cid, alias or direct.name, direct.type))
                 bound_items.append(ColRef(direct.cid, direct.type))
                 continue
-            b = self.bind_post_agg(e, scope, group_repl, agg_collect)
+            plan, b = self.bind_scalar_with_subqueries(e, scope, plan, post_agg=post_agg_ctx)
             name = alias or self._default_name(e)
             if isinstance(b, ColRef):
                 out_cols.append(ColInfo(b.cid, name, b.type))
@@ -490,7 +494,9 @@ class Binder:
         # having (after select-expr binding so aliases work inside? SQL says no,
         # but bind HAVING in post-agg space)
         if stmt.having is not None:
-            h = self.bind_post_agg(stmt.having, scope, group_repl, agg_collect)
+            plan, h = self.bind_scalar_with_subqueries(
+                stmt.having, scope, plan, post_agg=post_agg_ctx
+            )
             plan = L.Select(plan, h)
 
         if stmt.distinct:
@@ -951,7 +957,99 @@ class Binder:
         sub_plan, sub_cols = self.bind_select(sub_stmt, sub_scope)
         outer_cids = {c.cid for c in self._all_outer_cols(scope)}
         sub_plan, preds = self.decorrelate(sub_plan, outer_cids)
+        free = plan_free_cols(sub_plan) & outer_cids
+        if free and not _is_trivial_chain(sub_plan):
+            sub_plan, extra = self.general_unnest(plan, sub_plan, free)
+            preds = preds + extra
         return Binder.BoundSub(sub_plan, sub_cols), preds
+
+    def general_unnest(self, outer_plan: L.LogicalOp, sub_plan: L.LogicalOp,
+                       corr: set[int]):
+        """Domain-based dependent-join pushdown (Neumann/Kemper unnesting;
+        reference: Transforms/Unnesting.cpp). Builds D = DISTINCT projection
+        of the outer plan on the correlated columns (fresh copies), replaces
+        correlated references inside the subquery with the copies, pushes the
+        D-join down until no correlation remains, and returns null-safe
+        equality predicates linking outer originals to the copies."""
+        mapping: dict[int, int] = {}
+        d_plan = self.clone_plan(outer_plan, mapping)
+        d_corr = {c: mapping[c] for c in corr if c in mapping}
+        missing = corr - set(d_corr)
+        if missing:
+            raise BindError(f"cannot build correlation domain for columns {sorted(missing)}")
+        D = L.Distinct(d_plan, sorted(d_corr.values()))
+        sub2 = self._remap_exprs(sub_plan, d_corr)
+        pushed = self._push_dj(D, set(d_corr.values()), sub2)
+        preds = []
+        for c, dc in sorted(d_corr.items()):
+            t = self._col_info[c].type
+            preds.append(Call("nseq", [ColRef(c, t), ColRef(dc, t)], Type.bool_(False)))
+        return pushed, preds
+
+    def _remap_exprs(self, op: L.LogicalOp, m: dict[int, int]) -> L.LogicalOp:
+        """Rewrite free column references in every expression of the plan;
+        defined columns keep their ids."""
+
+        def f(e: BExpr) -> BExpr:
+            return E.map_cols(e, m)
+
+        if isinstance(op, L.Scan):
+            return L.Scan(op.table, op.cols, [f(r) for r in op.restrictions])
+        if isinstance(op, L.ConstRel):
+            return op
+        ch = [self._remap_exprs(c, m) for c in op.children()]
+        if isinstance(op, L.Select):
+            return L.Select(ch[0], f(op.predicate))
+        if isinstance(op, L.Map):
+            return L.Map(ch[0], [(c, f(e)) for c, e in op.computed])
+        if isinstance(op, L.Join):
+            j = L.Join(op.kind, ch[0], ch[1],
+                       None if op.predicate is None else f(op.predicate), op.mark_col)
+            if hasattr(op, "null_aware"):
+                j.null_aware = op.null_aware
+            return j
+        return op.replace_children(ch)
+
+    def _push_dj(self, D: L.LogicalOp, dcols: set[int], node: L.LogicalOp) -> L.LogicalOp:
+        """Push the dependent join with domain D below `node` until the
+        subtree no longer references the domain columns."""
+        if not (plan_free_cols(node) & dcols):
+            return L.Join("cross", D, node)
+        if isinstance(node, L.Select):
+            return L.Select(self._push_dj(D, dcols, node.child), node.predicate)
+        if isinstance(node, L.Map):
+            return L.Map(self._push_dj(D, dcols, node.child), node.computed)
+        if isinstance(node, L.Aggregate):
+            child = self._push_dj(D, dcols, node.child)
+            extra = [self._col_info[c] for c in sorted(dcols)]
+            return L.Aggregate(
+                child,
+                node.group_by + [c.cid for c in extra],
+                node.aggs,
+                node.group_cols + extra,
+            )
+        if isinstance(node, L.Join):
+            lfree = plan_free_cols(node.left) & dcols
+            rfree = plan_free_cols(node.right) & dcols
+            pfree = (E.used_cols(node.predicate) & dcols) if node.predicate is not None else set()
+            if lfree and rfree:
+                raise BindError("correlation on both sides of a join is not yet unnestable")
+            if rfree:
+                j = L.Join(node.kind, node.left, self._push_dj(D, dcols, node.right), node.predicate, node.mark_col)
+            elif lfree or pfree:
+                j = L.Join(node.kind, self._push_dj(D, dcols, node.left), node.right, node.predicate, node.mark_col)
+            else:
+                j = node
+            if hasattr(node, "null_aware"):
+                j.null_aware = node.null_aware
+            return j
+        if isinstance(node, L.Distinct):
+            return L.Distinct(self._push_dj(D, dcols, node.child), node.cids + sorted(dcols))
+        if isinstance(node, L.Sort):
+            return L.Sort(self._push_dj(D, dcols, node.child), node.keys)
+        raise BindError(
+            f"correlated subquery through {type(node).__name__} is not yet unnestable"
+        )
 
     def _all_outer_cols(self, scope: Scope) -> list[ColInfo]:
         out = []
@@ -1002,7 +1100,7 @@ class Binder:
             new_group = list(plan.group_by)
             new_group_cols = list(plan.group_cols)
             child_cols = {c.cid: c for c in child.output_cols()}
-            out_preds = []
+            out_preds, unhoistable = [], []
             for p in preds:
                 inner_used = E.used_cols(p) - outer_cids
                 ok = (
@@ -1012,15 +1110,16 @@ class Binder:
                     and next(iter(inner_used)) in child_cols
                 )
                 if not ok:
-                    raise BindError(
-                        "unsupported correlated subquery shape (non-equality "
-                        "correlation below aggregation)"
-                    )
+                    # leave it below; general_unnest handles it via the domain
+                    unhoistable.append(p)
+                    continue
                 icid = next(iter(inner_used))
                 if icid not in new_group:
                     new_group.append(icid)
                     new_group_cols.append(child_cols[icid])
                 out_preds.append(p)
+            if unhoistable:
+                child = L.Select(child, E.make_and(unhoistable))
             return (
                 L.Aggregate(child, new_group, plan.aggs, new_group_cols),
                 out_preds,
@@ -1035,16 +1134,13 @@ class Binder:
             pass
         return plan, []
 
-    def bind_scalar_with_subqueries(self, e: A.Expr, scope: Scope, plan):
-        """Bind an expression that may contain ScalarSubquery nodes: each
-        becomes a single join attaching one (nullable) column."""
-        subs: list[tuple[A.ScalarSubquery, ColRef]] = []
-
-        def rewrite(x) -> A.Expr:
-            return x
-
+    def bind_scalar_with_subqueries(self, e: A.Expr, scope: Scope, plan, post_agg=None):
+        """Bind an expression that may contain subquery constructs in scalar
+        positions: ScalarSubquery -> single join; EXISTS/IN -> mark join;
+        quantified comparisons -> mark join (reference: mark-join translation
+        in ImplicitToExplicitJoins + Unnesting)."""
         # find scalar subqueries
-        found: list[A.ScalarSubquery] = []
+        found: list[A.Expr] = []
 
         def visit(x):
             if isinstance(x, A.ScalarSubquery):
@@ -1068,7 +1164,7 @@ class Binder:
 
         visit(e)
         if not found:
-            return plan, self.bind_scalar(e, scope)
+            return plan, self.bind_scalar(e, scope, post_agg=post_agg)
         repl: dict[int, BExpr] = {}
         for sq in found:
             if isinstance(sq, A.ScalarSubquery):
@@ -1076,8 +1172,17 @@ class Binder:
                 if len(sub.cols) != 1:
                     raise BindError("scalar subquery must return one column")
                 col = sub.cols[0]
+                inline = _try_inline_trivial(sub.plan, col.cid)
+                if inline is not None and not preds:
+                    repl[id(sq)] = inline
+                    continue
                 plan = L.Join("single", plan, sub.plan, E.make_and(preds))
-                repl[id(sq)] = ColRef(col.cid, col.type.as_nullable())
+                ref: BExpr = ColRef(col.cid, col.type.as_nullable())
+                # COUNT subqueries yield 0, not NULL, for empty groups
+                # (reference: useZeroInsteadOfNull, sql_analyzer.cpp:2674)
+                if _is_count_output(sub.plan, col.cid):
+                    ref = Call("coalesce", [ref, Const(0, Type.bigint())], Type.bigint(False))
+                repl[id(sq)] = ref
             elif isinstance(sq, (A.Exists, A.InSubquery)):
                 # nested in a general expression: mark join
                 if isinstance(sq, A.Exists):
@@ -1099,9 +1204,23 @@ class Binder:
                     if sq.negated:
                         r = Call("not", [r], mark.type)
                     repl[id(sq)] = r
+            elif isinstance(sq, A.QuantifiedComparison):
+                outer_b = self.bind_scalar(sq.expr, scope, post_agg=post_agg)
+                sub, preds = self.bind_subquery_join(sq.subquery, scope, plan)
+                inner_col = sub.cols[0]
+                inner_ref = ColRef(inner_col.cid, inner_col.type)
+                mark = self.fresh("__mark", Type.bool_(False))
+                if sq.quantifier == "any":
+                    cmp = self.make_cmp(_CMP_OPS[sq.op], outer_b, inner_ref)
+                    plan = L.Join("mark", plan, sub.plan, E.make_and([cmp] + preds), mark)
+                    repl[id(sq)] = ColRef(mark.cid, mark.type)
+                else:  # ALL: true iff no row violates
+                    cmp = self.make_cmp(_NEGATED_CMP[_CMP_OPS[sq.op]], outer_b, inner_ref)
+                    plan = L.Join("mark", plan, sub.plan, E.make_and([cmp] + preds), mark)
+                    repl[id(sq)] = Call("not", [ColRef(mark.cid, mark.type)], mark.type)
             else:
-                raise BindError("quantified comparison only supported as WHERE conjunct")
-        b = self.bind_scalar(e, scope, subquery_repl=repl)
+                raise BindError(f"unsupported subquery construct {type(sq).__name__}")
+        b = self.bind_scalar(e, scope, post_agg=post_agg, subquery_repl=repl)
         return plan, b
 
     # ----------------------------------------------------- scalar expressions
@@ -1454,6 +1573,87 @@ class Binder:
         if isinstance(e, A.Cast):
             return self._default_name(e.expr)
         return "?column?"
+
+
+def plan_free_cols(plan: L.LogicalOp) -> set[int]:
+    """Column ids referenced by expressions in the plan but not produced by
+    any node inside it (i.e. correlated references to outer queries)."""
+    defined: set[int] = set()
+    used: set[int] = set()
+    for node in L.walk_plan(plan):
+        for c in node.output_cols():
+            defined.add(c.cid)
+        if isinstance(node, L.Scan):
+            for r in node.restrictions:
+                used |= E.used_cols(r)
+        elif isinstance(node, L.Select):
+            used |= E.used_cols(node.predicate)
+        elif isinstance(node, L.Map):
+            for _c, e in node.computed:
+                used |= E.used_cols(e)
+        elif isinstance(node, L.Join) and node.predicate is not None:
+            used |= E.used_cols(node.predicate)
+    return used - defined
+
+
+def _is_count_output(plan: L.LogicalOp, cid: int) -> bool:
+    for node in L.walk_plan(plan):
+        if isinstance(node, L.Aggregate):
+            for a in node.aggs:
+                if a.out.cid == cid and a.fn in ("count", "count_star"):
+                    return True
+    return False
+
+
+def _is_trivial_chain(plan: L.LogicalOp) -> bool:
+    node = plan
+    while isinstance(node, (L.Map, L.Select)):
+        node = node.children()[0]
+    return isinstance(node, L.ConstRel) and len(node.rows) == 1 and not node.cols
+
+
+def _try_inline_trivial(plan: L.LogicalOp, cid: int):
+    """If a subquery plan is just Map/Select over a one-row dummy relation
+    (SELECT <expr> without FROM), return the defining expression so it can be
+    inlined into the outer query — this is how correlated no-FROM subqueries
+    like (SELECT 42+t.i) execute without a dependent join."""
+    computed: dict[int, BExpr] = {}
+    selects: list[BExpr] = []
+    node = plan
+    while True:
+        if isinstance(node, L.Map):
+            for c, e in node.computed:
+                computed[c.cid] = e
+            node = node.child
+        elif isinstance(node, L.Select):
+            selects.append(node.predicate)
+            node = node.child
+        elif isinstance(node, L.ConstRel) and len(node.rows) == 1 and not node.cols:
+            break
+        else:
+            return None
+
+    def resolve(e: BExpr) -> BExpr:
+        if isinstance(e, ColRef) and e.cid in computed:
+            return resolve(computed[e.cid])
+        if isinstance(e, Call):
+            return Call(e.op, [resolve(a) for a in e.args], e.type)
+        if isinstance(e, Cast):
+            return Cast(resolve(e.arg), e.type)
+        if isinstance(e, CaseExpr):
+            return CaseExpr(
+                [(resolve(c), resolve(v)) for c, v in e.whens],
+                None if e.else_ is None else resolve(e.else_), e.type,
+            )
+        return e
+
+    if cid not in computed:
+        return None
+    out = resolve(computed[cid])
+    if selects:
+        cond = E.make_and([resolve(s) for s in selects])
+        out = CaseExpr([(cond, out)], None, out.type.as_nullable())
+    return out
 
 
 # ------------------------------------------------------------------- helpers

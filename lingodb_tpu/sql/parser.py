@@ -441,8 +441,8 @@ class Parser:
         left = self.parse_select_core()
         while self.at_kw("union", "intersect", "except"):
             op = self.next().value
-            if op == "union" and self.accept_kw("all"):
-                op = "union_all"
+            if self.accept_kw("all"):
+                op = op + "_all"
             else:
                 self.accept_kw("distinct")
             right = self.parse_select_core()
