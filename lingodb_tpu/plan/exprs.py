@@ -134,6 +134,16 @@ def conjuncts(e: Optional[BExpr]) -> list[BExpr]:
     return [e]
 
 
+def disjuncts(e: BExpr) -> list[BExpr]:
+    """Flatten nested ORs into the list of top-level disjuncts."""
+    if isinstance(e, Call) and e.op == "or":
+        out = []
+        for a in e.args:
+            out.extend(disjuncts(a))
+        return out
+    return [e]
+
+
 def make_and(parts: list[BExpr]) -> Optional[BExpr]:
     if not parts:
         return None

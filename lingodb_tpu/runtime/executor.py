@@ -378,7 +378,7 @@ def extract_equi_keys(pred, lcids: set[int], rcids: set[int]):
         if isinstance(c, Call) and c.op == "or":
             # common equality across all branches (Q19 pattern)
             branch_sets = []
-            for b in c.args:
+            for b in E.disjuncts(c):
                 branch_sets.append({repr(x): x for x in E.conjuncts(b)})
             common = set(branch_sets[0])
             for bs in branch_sets[1:]:

@@ -1,0 +1,154 @@
+"""sqlite3 differential oracle.
+
+Runs the reference TPC-H query texts (resources/sql/tpch/*.sql) against
+sqlite3 on identical generated data, adapting the few constructs sqlite
+lacks (typed date literals, literal interval arithmetic, EXTRACT,
+SUBSTRING FROM/FOR). Used by tests to validate our engine's results without
+the reference binaries."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+
+def _shift_date(base: str, n: int, unit: str, sign: int) -> str:
+    d = np.datetime64(base)
+    unit = unit.rstrip("s").lower()
+    if unit == "day":
+        out = d + np.timedelta64(sign * n, "D")
+    elif unit == "month":
+        m = d.astype("datetime64[M]") + np.timedelta64(sign * n, "M")
+        day = (d - d.astype("datetime64[M]").astype("datetime64[D]")).astype(int)
+        out = m.astype("datetime64[D]") + day
+    elif unit == "year":
+        m = d.astype("datetime64[M]") + np.timedelta64(sign * 12 * n, "M")
+        day = (d - d.astype("datetime64[M]").astype("datetime64[D]")).astype(int)
+        out = m.astype("datetime64[D]") + day
+    else:
+        raise ValueError(unit)
+    return str(out)
+
+
+def adapt_for_sqlite(sql: str) -> str:
+    # date 'X' +/- interval 'N' unit  -> computed literal
+    def repl_arith(m):
+        base, op, n, unit = m.group(1), m.group(2), int(m.group(3)), m.group(4)
+        return "'" + _shift_date(base, n, unit, 1 if op == "+" else -1) + "'"
+
+    sql = re.sub(
+        r"date\s+'(\d{4}-\d{2}-\d{2})'\s*([+-])\s*interval\s+'(\d+)'\s+(\w+)",
+        repl_arith, sql, flags=re.IGNORECASE,
+    )
+    # bare typed date literal
+    sql = re.sub(r"date\s+'(\d{4}-\d{2}-\d{2})'", r"'\1'", sql, flags=re.IGNORECASE)
+    # extract(year from X)
+    sql = re.sub(
+        r"extract\s*\(\s*year\s+from\s+([^)]+)\)",
+        r"CAST(strftime('%Y', \1) AS INTEGER)", sql, flags=re.IGNORECASE,
+    )
+    # substring(x from a for b)
+    sql = re.sub(
+        r"substring\s*\(\s*(\w+(?:\.\w+)?)\s+from\s+(\d+)\s+for\s+(\d+)\s*\)",
+        r"substr(\1, \2, \3)", sql, flags=re.IGNORECASE,
+    )
+
+    # numeric BETWEEN bounds: sqlite stores decimals as floats, so exact
+    # boundary values (0.06 + 0.01 -> 0.069999...) silently exclude rows the
+    # exact-decimal engine correctly includes. Fold constant arithmetic with
+    # python Decimal and widen the bounds by an epsilon far below the data's
+    # cent granularity.
+    from decimal import Decimal
+
+    def repl_between(m):
+        def ev(expr):
+            parts = re.split(r"\s*([+-])\s*", expr.strip())
+            v = Decimal(parts[0])
+            for op, rhs in zip(parts[1::2], parts[2::2]):
+                v = v + Decimal(rhs) if op == "+" else v - Decimal(rhs)
+            return float(v)
+
+        lo, hi = ev(m.group(1)), ev(m.group(2))
+        return f"between {lo - 1e-9} and {hi + 1e-9}"
+
+    num = r"[\d.]+(?:\s*[+-]\s*[\d.]+)*"
+    sql = re.sub(
+        rf"between\s+({num})\s+and\s+({num})",
+        repl_between, sql, flags=re.IGNORECASE,
+    )
+    return sql
+
+
+def run_sqlite(conn, sql: str) -> list[tuple]:
+    cur = conn.cursor()
+    cur.execute(adapt_for_sqlite(sql))
+    return cur.fetchall()
+
+
+def rows_equal(ours: list[list], theirs: list[tuple], ordered: bool,
+               rel_tol: float = 1e-6, abs_tol: float = 2e-2) -> tuple[bool, str]:
+    """Compare result rows. Numerics compare with tolerance (sqlite computes
+    decimals in float); strings/dates exact. abs_tol absorbs sub-cent
+    rounding differences on aggregated decimals."""
+    if len(ours) != len(theirs):
+        return False, f"row count {len(ours)} vs {len(theirs)}"
+
+    def norm(row):
+        out = []
+        for v in row:
+            if isinstance(v, float):
+                out.append(("f", round(v, 2)))
+            elif isinstance(v, (int, np.integer)):
+                out.append(("f", round(float(v), 2)))
+            elif v is None:
+                out.append(("n",))
+            else:
+                out.append(("s", str(v).rstrip()))
+        return tuple(out)
+
+    a = [norm(r) for r in ours]
+    b = [norm(r) for r in theirs]
+    if not ordered:
+        a = sorted(a)
+        b = sorted(b)
+
+    def close(x, y):
+        if x[0] != y[0]:
+            return False
+        if x[0] == "f":
+            fx, fy = x[1], y[1]
+            return abs(fx - fy) <= max(abs_tol, rel_tol * max(abs(fx), abs(fy)))
+        return x == y
+
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        if len(ra) != len(rb):
+            return False, f"col count row {i}"
+        for x, y in zip(ra, rb):
+            if not close(x, y):
+                return False, f"row {i}: ours={ra} theirs={rb}"
+    return True, ""
+
+
+def our_rows(res) -> list[list]:
+    """ResultTable -> python rows with decimals as floats, dates as ISO."""
+    from ..runtime.vtable import dec_is_float
+    from ..sql.types import K
+    from ..storage.column import EPOCH
+
+    rows = []
+    for r in res.to_pylist():
+        row = []
+        for v, t in zip(r, res.types):
+            if v is None:
+                row.append(None)
+            elif t.kind == K.DECIMAL and not dec_is_float(t):
+                row.append(v / 10**t.s)
+            elif t.kind == K.DECIMAL:
+                row.append(float(v))
+            elif t.kind == K.DATE:
+                row.append(str(EPOCH + np.timedelta64(int(v), "D")))
+            else:
+                row.append(v)
+        rows.append(row)
+    return rows
