@@ -10,6 +10,15 @@ __version__ = "0.1.0"
 
 
 def _configure_jax():
+    import os
+
+    # make the local XLA CPU backend available next to the accelerator: the
+    # executor runs small intermediate tables there to avoid high-latency
+    # accelerator round trips (see runtime/device.py)
+    plats = os.environ.get("JAX_PLATFORMS")
+    if plats and "cpu" not in plats.split(","):
+        os.environ["JAX_PLATFORMS"] = plats + ",cpu"
+
     import jax
 
     jax.config.update("jax_enable_x64", True)

@@ -421,7 +421,30 @@ def eval_call(e: Call, env: dict[int, SCol]) -> SCol:
 
         h = hash_columns(args)
         return SCol(e.type, h.astype(jnp.int64), None)
+    if op.startswith("udf:"):
+        from ..runtime.udf import UDFError
+        from ..runtime import udf as udfmod
+
+        call = udfmod_registry_get(op[4:])
+        if call is None:
+            raise EvalError(f"UDF {op[4:]} is not compiled")
+        n = max((a.data.shape[0] for a in args if a.data.ndim), default=1)
+        host = [np.asarray(jnp.broadcast_to(a.data, (n,))) for a in args]
+        out = call(host)
+        valid = _and_valid(*args)
+        return SCol(e.type, jnp.asarray(out), valid)
     raise EvalError(f"unknown op {op}")
+
+
+_UDF_REGISTRY: dict[str, object] = {}
+
+
+def udf_register(name: str, call):
+    _UDF_REGISTRY[name.lower()] = call
+
+
+def udfmod_registry_get(name: str):
+    return _UDF_REGISTRY.get(name.lower())
 
 
 def _eval_and(cols: list[SCol], t: Type) -> SCol:

@@ -34,6 +34,10 @@ class ExecError(Exception):
     pass
 
 
+class _NotDense(Exception):
+    """Raised during tracing when group keys have no small dense domain."""
+
+
 class Executor:
     """Executes logical plans against a session's storage."""
 
@@ -42,17 +46,24 @@ class Executor:
 
     # ------------------------------------------------------------- dispatch
     def execute(self, plan: L.Materialize) -> ResultTable:
+        from . import device as dv
+
         with tracer.Trace("execution", "run_plan"):
             vt = self.run(plan.child)
-        out_cols = []
-        child_types = {c.cid: c.type for c in plan.child.output_cols()}
+        # ONE packed device->host transfer for the whole result
+        needed = VTable({cid: vt.col(cid) for cid in set(plan.cids)}, vt.num_rows)
+        host = dv.fetch_vtable_np(needed) if vt.num_rows else {}
         names, types, cols, valids, dicts = [], [], [], [], []
         for cid, name in zip(plan.cids, plan.names):
             c = vt.col(cid)
             names.append(name)
             types.append(c.type)
-            cols.append(np.asarray(jax.device_get(c.data)))
-            valids.append(None if c.valid is None else np.asarray(jax.device_get(c.valid)))
+            if vt.num_rows:
+                cols.append(host[("d", cid)])
+                valids.append(host.get(("v", cid)))
+            else:
+                cols.append(np.zeros(0, dtype=np.dtype(c.data.dtype)))
+                valids.append(None)
             dicts.append(c.dictionary)
         return ResultTable(names, types, cols, valids, dicts, vt.num_rows)
 
@@ -60,7 +71,14 @@ class Executor:
         method = getattr(self, "_run_" + type(op).__name__.lower(), None)
         if method is None:
             raise ExecError(f"no executor for {type(op).__name__}")
-        return method(op)
+        vt = method(op)
+        # small results migrate to the local CPU backend (runtime/device.py)
+        if type(op).__name__ in ("Aggregate", "Select", "Join", "TopK", "Limit",
+                                 "Distinct", "SetOp"):
+            from . import device as dv
+
+            vt = dv.demote_small(vt)
+        return vt
 
     # ------------------------------------------------------------- leaves
     def _run_scan(self, op: L.Scan) -> VTable:
@@ -141,8 +159,206 @@ class Executor:
     def _run_materialize(self, op: L.Materialize) -> VTable:
         return self.run(op.child)
 
+    # ---------------------------------------------------- fused agg pipeline
+    # Scan -> Select/Map chain -> Aggregate compiles into ONE jitted device
+    # program using masked aggregation (no intermediate compaction). This is
+    # the TPU-native replacement for the reference's fused per-morsel pipeline
+    # (SubOpToControlFlow emits one loop doing scan+filter+aggregate per
+    # morsel; XLA fuses the same chain across whole columns here).
+    def _try_fused_agg(self, op: L.Aggregate):
+        from ..plan.serial import plan_key
+
+        if any(a.distinct for a in op.aggs):
+            return None
+        if any(a.fn not in ("sum", "count", "count_star", "min", "max") for a in op.aggs):
+            return None
+        steps = []
+        cur = op.child
+        while isinstance(cur, (L.Select, L.Map)):
+            steps.append(cur)
+            cur = cur.children()[0]
+        if not isinstance(cur, L.Scan):
+            return None
+        scan = cur
+        steps.reverse()
+        entry = self.session.catalog.get_table(scan.table)
+        n = entry.storage.num_rows
+        if n == 0:
+            return None
+        dev = self.session.device_table(scan.table)
+        key = ("fused_agg", plan_key(op), scan.table, entry.storage.version)
+        cache = self.session.stage_cache
+        if cache.get(key) == "eager":
+            return None
+
+        templates = [(c.cid, dev[c.name]) for c in scan.cols]
+        arrays = []
+        for _cid, t in templates:
+            arrays.append(t.data)
+            if t.valid is not None:
+                arrays.append(t.valid)
+
+        if key not in cache:
+            meta = {}
+
+            def fn(*arrs):
+                env = {}
+                i = 0
+                for cid, t in templates:
+                    data = arrs[i]
+                    i += 1
+                    valid = None
+                    if t.valid is not None:
+                        valid = arrs[i]
+                        i += 1
+                    env[cid] = SCol(t.type, data, valid, t.dictionary)
+                mask = None
+                for r in scan.restrictions:
+                    m = sc.truth_mask(sc.eval_expr(r, env))
+                    mask = m if mask is None else mask & m
+                for step in steps:
+                    if isinstance(step, L.Select):
+                        m = sc.truth_mask(sc.eval_expr(step.predicate, env))
+                        mask = m if mask is None else mask & m
+                    else:
+                        for info, e in step.computed:
+                            env[info.cid] = sc.eval_expr(e, env)
+                if mask is not None and mask.ndim == 0:
+                    mask = jnp.broadcast_to(mask, (n,))
+                if op.group_by:
+                    key_cols = [env[c] for c in op.group_by]
+                    gid, domain = gb.dense_gid(key_cols)
+                    if gid is None:
+                        raise _NotDense()
+                    radices = [gb.small_domain(c) for c in key_cols]
+                else:
+                    gid = jnp.zeros((n,), jnp.int32)
+                    domain, radices = 1, []
+                meta["domain"], meta["radices"] = domain, radices
+                meta["key_templates"] = [
+                    (env[c].type, env[c].dictionary, env[c].valid is not None)
+                    for c in op.group_by
+                ]
+
+                def msum(w):
+                    wm = w if mask is None else jnp.where(mask, w, jnp.zeros_like(w))
+                    return jax.ops.segment_sum(wm, gid, num_segments=domain)
+
+                ones = jnp.ones((n,), jnp.int64)
+                present = msum(ones)
+                outs = [present]
+                meta["agg_dicts"] = {}
+                for spec in op.aggs:
+                    arg = None if spec.arg is None else env[spec.arg]
+                    if spec.fn == "count_star":
+                        outs.append(present)
+                        outs.append(present)
+                        continue
+                    avalid = arg.valid
+                    vm = ones if avalid is None else avalid.astype(jnp.int64)
+                    cnt = msum(vm)
+                    if spec.fn == "count":
+                        outs.append(cnt)
+                        outs.append(cnt)
+                        continue
+                    if spec.fn == "sum":
+                        data = arg.data.astype(jnp_dtype(spec.out.type))
+                        if avalid is not None:
+                            data = jnp.where(avalid, data, jnp.zeros_like(data))
+                        outs.append(msum(data))
+                        outs.append(cnt)
+                        continue
+                    # min / max with full masking
+                    sentinel = gb._extreme(arg.data.dtype, maximum=(spec.fn == "min"))
+                    keep = mask if avalid is None else (
+                        avalid if mask is None else (mask & avalid))
+                    data = arg.data if keep is None else jnp.where(keep, arg.data, sentinel)
+                    red = (jax.ops.segment_min if spec.fn == "min" else jax.ops.segment_max)(
+                        data, gid, num_segments=domain)
+                    meta["agg_dicts"][spec.out.cid] = arg.dictionary
+                    outs.append(red)
+                    outs.append(cnt)
+                return tuple(outs)
+
+            try:
+                jitted = jax.jit(fn)
+                result = jitted(*arrays)
+                # touch to force trace/compile errors now
+                cache[key] = (jitted, meta, [t for t in templates])
+            except Exception:  # non-traceable (UDFs, host string ops, sparse keys)
+                cache[key] = "eager"
+                return None
+        else:
+            jitted, meta, _t = cache[key]
+            result = jitted(*arrays)
+
+        jitted, meta, _t = cache[key]
+        from . import device as dv
+
+        # ONE packed transfer of all (domain,)-sized outputs; compaction and
+        # key decoding happen in host numpy, results live on the CPU backend
+        host = dv.fetch_arrays_np({i: a for i, a in enumerate(result)})
+        present = host[0]
+        domain, radices = meta["domain"], meta["radices"]
+        cpu, _accel = dv.devices()
+
+        def cpu_col(t, data_np, valid_np, dictionary=None):
+            return SCol(
+                t, jax.device_put(data_np, cpu),
+                None if valid_np is None else jax.device_put(valid_np, cpu),
+                dictionary,
+            )
+
+        if op.group_by:
+            slots_np = np.flatnonzero(present > 0)
+            g = len(slots_np)
+            if g == 0:
+                return VTable({c.cid: _empty_scol(c.type) for c in op.output_cols()}, 0)
+            rem = slots_np
+            codes = []
+            for r in reversed(radices):
+                codes.append(rem % r)
+                rem = rem // r
+            codes.reverse()
+            agg_cols: dict[int, SCol] = {}
+            for pos, cid in enumerate(op.group_by):
+                ktype, kdict, knullable = meta["key_templates"][pos]
+                code = codes[pos]
+                r = radices[pos]
+                valid = (code != (r - 1)) if knullable else None
+                agg_cols[cid] = cpu_col(
+                    ktype, code.astype(np.dtype(jnp_dtype(ktype))), valid, kdict)
+            idx = 1
+            for spec in op.aggs:
+                val, cnt = host[idx][slots_np], host[idx + 1][slots_np]
+                idx += 2
+                agg_cols[spec.out.cid] = self._finish_fused_agg(
+                    spec, val, cnt, cpu_col, meta["agg_dicts"].get(spec.out.cid))
+            out = {c.cid: agg_cols[c.cid] for c in op.group_cols}
+            for spec in op.aggs:
+                out[spec.out.cid] = agg_cols[spec.out.cid]
+            return VTable(out, g)
+        # global aggregate: exactly one row
+        idx = 1
+        out = {}
+        for spec in op.aggs:
+            val, cnt = host[idx], host[idx + 1]
+            idx += 2
+            out[spec.out.cid] = self._finish_fused_agg(
+                spec, val, cnt, cpu_col, meta["agg_dicts"].get(spec.out.cid))
+        return VTable(out, 1)
+
+    def _finish_fused_agg(self, spec, val, cnt, cpu_col, dictionary) -> SCol:
+        t = spec.out.type
+        if spec.fn in ("count", "count_star"):
+            return cpu_col(t, val.astype(np.int64), None)
+        return cpu_col(t, val, cnt > 0, dictionary)
+
     # ------------------------------------------------------------- aggregate
     def _run_aggregate(self, op: L.Aggregate) -> VTable:
+        fused = self._try_fused_agg(op)
+        if fused is not None:
+            return fused
         vt = self.run(op.child)
         n = vt.num_rows
         key_cols = [vt.col(c) for c in op.group_by]
@@ -173,8 +389,11 @@ class Executor:
 
     # ------------------------------------------------------------- joins
     def _run_join(self, op: L.Join) -> VTable:
+        from . import device as dv
+
         lvt = self.run(op.left)
         rvt = self.run(op.right)
+        lvt, rvt = dv.align_devices(lvt, rvt)
         kind = op.kind
         nl, nr = lvt.num_rows, rvt.num_rows
 
@@ -304,8 +523,11 @@ class Executor:
 
     # ------------------------------------------------------------- set ops
     def _run_setop(self, op: L.SetOp) -> VTable:
+        from . import device as dv
+
         lvt = self.run(op.left)
         rvt = self.run(op.right)
+        lvt, rvt = dv.align_devices(lvt, rvt)
         lcols = {c.cid: lvt.col(lc) for c, lc in zip(op.cols, op.lmap)}
         rcols = {c.cid: rvt.col(rc) for c, rc in zip(op.cols, op.rmap)}
         lt = VTable(lcols, lvt.num_rows)

@@ -94,7 +94,14 @@ def format_value(v, t: Type) -> str:
         if "." in s:
             s = s.rstrip("0").rstrip(".")
         return s
-    if t.kind in (K.FLOAT, K.DOUBLE):
+    if t.kind == K.FLOAT:
+        # shortest repr at float32 precision (Arrow prints the float, not its
+        # double promotion: 1.2f + 1.33f -> "2.53", not "2.5299999713...")
+        f = np.float32(v)
+        if f != f:
+            return "nan"
+        return np.format_float_positional(f, unique=True, trim="0")
+    if t.kind == K.DOUBLE:
         f = float(v)
         if f != f:
             return "nan"

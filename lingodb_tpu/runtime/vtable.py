@@ -19,6 +19,14 @@ import numpy as np
 from ..sql.types import K, IntervalUnit, Type
 
 
+@jax.jit
+def _gather_tree(idx, arrays: dict):
+    """One fused gather over a pytree of equal-length columns (jax.jit caches
+    per shape/dtype signature, so repeated queries reuse the executable)."""
+    bidx = jnp.maximum(idx, 0)
+    return {k: jnp.take(a, bidx, axis=0) for k, a in arrays.items()}
+
+
 def jnp_dtype(t: Type):
     """Physical device dtype for a logical type (see sql/types.py docstring)."""
     if t.kind == K.BOOL:
@@ -98,7 +106,17 @@ class VTable:
         return self.cols[cid]
 
     def take(self, idx: jax.Array, n: int) -> "VTable":
-        return VTable({cid: c.take(idx) for cid, c in self.cols.items()}, n)
+        """Gather all columns with ONE device call (jitted pytree gather)."""
+        arrays = {}
+        for cid, c in self.cols.items():
+            arrays[("d", cid)] = c.data
+            if c.valid is not None:
+                arrays[("v", cid)] = c.valid
+        out = _gather_tree(idx, arrays)
+        cols = {}
+        for cid, c in self.cols.items():
+            cols[cid] = SCol(c.type, out[("d", cid)], out.get(("v", cid)), c.dictionary)
+        return VTable(cols, n)
 
     def select_mask(self, mask: jax.Array) -> "VTable":
         """Compact rows where mask is True (one host sync for the count)."""

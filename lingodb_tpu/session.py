@@ -34,6 +34,9 @@ class Session:
         self.catalog = Catalog(db_dir)
         self.executor = Executor(self)
         self._device_cache: dict[str, tuple[int, dict]] = {}
+        # plan_key -> compiled stage (reference analogue: the JIT object
+        # cache in LLVMBackends.cpp:81-460)
+        self.stage_cache: dict = {}
 
     # ----------------------------------------------------------- public API
     def sql(self, query: str):
@@ -84,6 +87,11 @@ class Session:
         if isinstance(stmt, A.DropTableStmt):
             self.catalog.drop_table(stmt.name)
             return None
+        if isinstance(stmt, A.CreateViewStmt):
+            if not hasattr(self.catalog, "views"):
+                self.catalog.views = {}
+            self.catalog.views[stmt.name] = stmt.query
+            return None
         if isinstance(stmt, A.InsertStmt):
             return self._execute_insert(stmt)
         if isinstance(stmt, A.CopyStmt):
@@ -94,10 +102,25 @@ class Session:
             set_setting(stmt.key, stmt.value)
             return None
         if isinstance(stmt, A.CreateFunctionStmt):
-            self.catalog.create_function(
-                FunctionEntry(stmt.name, stmt.arg_types, stmt.return_type,
-                              stmt.language, stmt.body)
-            )
+            from .ops.scalar import udf_register
+            from .runtime import udf as udfmod
+
+            entry = FunctionEntry(stmt.name, stmt.arg_types, stmt.return_type,
+                                  stmt.language, stmt.body)
+            if stmt.language == "c":
+                entry.fn = udfmod.compile_c_udf(
+                    stmt.name, stmt.arg_names, stmt.arg_types,
+                    stmt.return_type, stmt.body,
+                )
+            elif stmt.language == "python":
+                entry.fn = udfmod.make_python_udf(
+                    stmt.name, stmt.arg_names, stmt.arg_types,
+                    stmt.return_type, stmt.body,
+                )
+            else:
+                raise NotImplementedError(f"UDF language {stmt.language}")
+            self.catalog.create_function(entry)
+            udf_register(stmt.name, entry.fn)
             return None
         raise NotImplementedError(type(stmt).__name__)
 
@@ -159,22 +182,47 @@ class Session:
 
     # ----------------------------------------------------------- device data
     def device_table(self, name: str) -> dict:
-        """Upload (and cache) a table's columns as device tensors.
-        (reference analogue: DataSourceIteration over in-memory Arrow chunks,
-        src/runtime/DataSourceIteration.cpp)"""
+        """Lazily upload (and cache) a table's columns as device tensors —
+        columns transfer on first access, mirroring the reference's
+        column-projected scans (reference: DataSourceIteration.cpp +
+        ScanConfig.columns, TableStorage.h:81-95)."""
         entry = self.catalog.get_table(name)
         storage = entry.storage
         cached = self._device_cache.get(name)
         if cached is not None and cached[0] == storage.version:
             return cached[1]
-        with tracer.Trace("runtime", f"upload:{name}"):
-            dev: dict = {"__num_rows__": storage.num_rows}
-            for cname, col in zip(storage.column_names, storage.columns):
-                data = jnp.asarray(col.data)
-                valid = None if col.valid is None else jnp.asarray(col.valid)
-                dev[cname] = SCol(col.type, data, valid, col.dictionary)
+        dev = _LazyDeviceTable(storage)
         self._device_cache[name] = (storage.version, dev)
         return dev
+
+
+class _LazyDeviceTable:
+    """dict-like device view of a table; columns upload on first access."""
+
+    def __init__(self, storage):
+        self._storage = storage
+        self._cols: dict[str, SCol] = {}
+
+    def __getitem__(self, key):
+        if key == "__num_rows__":
+            return self._storage.num_rows
+        c = self._cols.get(key)
+        if c is None:
+            import jax
+
+            from .runtime import device as dv
+
+            cpu, accel = dv.devices()
+            target = cpu if self._storage.num_rows < dv.SMALL_ROWS else accel
+            col = self._storage.column(key)
+            with tracer.Trace("runtime", f"upload:{self._storage.name}.{key}"):
+                c = SCol(
+                    col.type, jax.device_put(col.data, target),
+                    None if col.valid is None else jax.device_put(col.valid, target),
+                    col.dictionary,
+                )
+            self._cols[key] = c
+        return c
 
 
 def _column_from_physical(t, vals):

@@ -277,3 +277,9 @@ class SetStmt:
 class DropTableStmt:
     name: str
     if_exists: bool = False
+
+
+@dataclass
+class CreateViewStmt:
+    name: str
+    query: "SelectStmt"

@@ -260,6 +260,12 @@ class Binder:
                 plan, cols = self.instantiate_cte(ref.name, scope)
                 scope.add(TableBinding(alias, cols))
                 return plan
+            views = getattr(self.catalog, "views", {})
+            if ref.name in views:
+                sub_scope = Scope(scope)
+                plan, cols = self.bind_select(views[ref.name], sub_scope)
+                scope.add(TableBinding(alias, cols))
+                return plan
             entry = self.catalog.get_table(ref.name)
             if entry is None:
                 raise BindError(f"unknown table {ref.name!r}")
@@ -1560,7 +1566,13 @@ class Binder:
         # user-defined function?
         f = getattr(self.catalog, "get_function", lambda _n: None)(n)
         if f is not None:
-            return Call(f"udf:{n}", args, f.return_type)
+            if len(args) != len(f.arg_types):
+                raise BindError(f"UDF {n} expects {len(f.arg_types)} arguments")
+            args = [
+                self.coerce(a, at.as_nullable(a.type.nullable))
+                for a, at in zip(args, f.arg_types)
+            ]
+            return Call(f"udf:{n}", args, f.return_type.as_nullable(nullable))
         raise BindError(f"unknown function {name}")
 
     def _default_name(self, e: A.Expr) -> str:

@@ -252,6 +252,10 @@ class Parser:
     # ---- DDL / DML ------------------------------------------------------------
     def parse_create(self):
         self.expect_kw("create")
+        if self.accept_kw("or"):
+            self.expect_kw("replace")
+        if self.accept_kw("view"):
+            return self.parse_create_view()
         if self.accept_kw("table"):
             name = self.ident()
             self.expect_op("(")
@@ -319,6 +323,12 @@ class Parser:
             elif self.at_op(",") and depth == 0:
                 return
             self.next()
+
+    def parse_create_view(self):
+        name = self.ident()
+        self.expect_kw("as")
+        q = self.parse_select()
+        return A.CreateViewStmt(name, q)
 
     def parse_create_function(self):
         name = self.ident()
