@@ -17,8 +17,10 @@ dynamic-shape point; everything else is static)."""
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
+
+from . import backend as be
+from .backend import xnp as jnp
 
 from ..runtime.vtable import SCol, dec_is_float
 from ..sql.types import K, Type
@@ -71,26 +73,26 @@ def group_rows(key_cols: list[SCol], n: int):
     gid, domain = dense_gid(key_cols)
     if gid is not None:
         # compact occupied slots
-        counts = jax.ops.segment_sum(jnp.ones_like(gid), gid, num_segments=domain)
+        counts = be.segment_sum(jnp.ones_like(gid), gid, num_segments=domain)
         occupied = counts > 0
         num_groups = int(jnp.sum(occupied))
         (slots,) = jnp.nonzero(occupied, size=num_groups)
-        remap = jnp.zeros((domain,), jnp.int32).at[slots].set(jnp.arange(num_groups, dtype=jnp.int32))
+        remap = be.set_at(jnp.zeros((domain,), jnp.int32), slots, jnp.arange(num_groups, dtype=jnp.int32))
         seg = remap[gid]
         # representative row per compact group
-        rep = jnp.zeros((domain,), jnp.int64).at[gid].set(jnp.arange(gid.shape[0], dtype=jnp.int64))
+        rep = be.set_at(jnp.zeros((domain,), jnp.int64), gid, jnp.arange(gid.shape[0], dtype=jnp.int64))
         rep_rows = rep[slots]
         return {"seg": seg, "order": None, "num_groups": num_groups,
                 "rep_rows": rep_rows, "sorted": False}
-    imgs = keymod.grouping_images(key_cols)
+    imgs = [jnp.broadcast_to(x, (n,)) for x in keymod.grouping_images(key_cols)]
     iota = jnp.arange(n, dtype=jnp.int64)
-    res = jax.lax.sort(imgs + [iota], num_keys=len(imgs))
+    res = be.multi_sort(imgs + [iota], num_keys=len(imgs))
     perm = res[-1]
     simgs = res[:-1]
     if n == 0:
         return {"seg": jnp.zeros((0,), jnp.int32), "order": perm, "num_groups": 0,
                 "rep_rows": jnp.zeros((0,), jnp.int64), "sorted": True}
-    boundary = jnp.zeros((n,), jnp.bool_).at[0].set(True)
+    boundary = be.first_true(n, like=imgs[0] if imgs else None)
     for s in simgs:
         boundary = boundary | jnp.concatenate([jnp.ones((1,), jnp.bool_), s[1:] != s[:-1]])
     seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1
@@ -102,15 +104,15 @@ def group_rows(key_cols: list[SCol], n: int):
 
 
 def _segment_sum(vals, seg, g, sorted_):
-    return jax.ops.segment_sum(vals, seg, num_segments=g, indices_are_sorted=sorted_)
+    return be.segment_sum(vals, seg, num_segments=g, indices_are_sorted=sorted_)
 
 
 def _segment_min(vals, seg, g, sorted_):
-    return jax.ops.segment_min(vals, seg, num_segments=g, indices_are_sorted=sorted_)
+    return be.segment_min(vals, seg, num_segments=g, indices_are_sorted=sorted_)
 
 
 def _segment_max(vals, seg, g, sorted_):
-    return jax.ops.segment_max(vals, seg, num_segments=g, indices_are_sorted=sorted_)
+    return be.segment_max(vals, seg, num_segments=g, indices_are_sorted=sorted_)
 
 
 def aggregate(fn: str, arg: SCol | None, out_t: Type, grp: dict) -> SCol:
@@ -191,12 +193,14 @@ def distinct_reduce(fn: str, key_cols: list[SCol], arg: SCol, grp: dict,
         return SCol(out_t, z, None if fn == "count" else jnp.zeros((grp["num_groups"],), jnp.bool_))
     imgs = keymod.grouping_images(key_cols) if key_cols else []
     aimg = keymod.grouping_images([arg])
+    imgs = [jnp.broadcast_to(x, (n,)) for x in imgs]
+    aimg = [jnp.broadcast_to(x, (n,)) for x in aimg]
     iota = jnp.arange(n, dtype=jnp.int64)
-    res = jax.lax.sort(imgs + aimg + [iota], num_keys=len(imgs) + len(aimg))
+    res = be.multi_sort(imgs + aimg + [iota], num_keys=len(imgs) + len(aimg))
     perm = res[-1]
     sorted_keys = res[:len(imgs)]
     sorted_arg = res[len(imgs):-1]
-    new_any = jnp.zeros((n,), jnp.bool_).at[0].set(True)
+    new_any = be.first_true(n, like=perm)
     for s in sorted_keys + sorted_arg:
         new_any = new_any | jnp.concatenate([jnp.ones((1,), jnp.bool_), s[1:] != s[:-1]])
     avalid = jnp.ones((n,), jnp.bool_) if arg.valid is None else jnp.take(arg.valid, perm)
@@ -213,17 +217,17 @@ def distinct_reduce(fn: str, key_cols: list[SCol], arg: SCol, grp: dict,
         if fn == "count":
             return SCol(out_t, s, None)
         return SCol(out_t, s, jnp.sum(first.astype(jnp.int64))[None] > 0)
-    boundary = jnp.zeros((n,), jnp.bool_).at[0].set(True)
+    boundary = be.first_true(n, like=imgs[0] if imgs else None)
     for s in sorted_keys:
         boundary = boundary | jnp.concatenate([jnp.ones((1,), jnp.bool_), s[1:] != s[:-1]])
     seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1
     g = grp["num_groups"]
-    red = jax.ops.segment_sum(vals, seg, num_segments=g, indices_are_sorted=True)
-    nonempty = jax.ops.segment_sum(first.astype(jnp.int64), seg, num_segments=g,
+    red = be.segment_sum(vals, seg, num_segments=g, indices_are_sorted=True)
+    nonempty = be.segment_sum(first.astype(jnp.int64), seg, num_segments=g,
                                    indices_are_sorted=True) > 0
     if grp["order"] is None:
         # dense-gid path numbered groups differently: align via representatives
-        rep_sorted_pos = jnp.zeros((n,), jnp.int32).at[perm].set(seg)
+        rep_sorted_pos = be.set_at(jnp.zeros((n,), jnp.int32), perm, seg)
         gid_of_group = rep_sorted_pos[grp["rep_rows"]]
         red = red[gid_of_group]
         nonempty = nonempty[gid_of_group]

@@ -10,7 +10,7 @@ first, see ops/join.py)."""
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+from .backend import xnp as jnp
 
 
 def splitmix64(x):

@@ -17,7 +17,9 @@ pair list + segment reductions over probe rows."""
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
+
+from . import backend as be
+from .backend import xnp as jnp
 
 from ..runtime.vtable import SCol
 from . import hashing
@@ -47,7 +49,7 @@ def candidate_pairs(build_keys: list[SCol], probe_keys: list[SCol], n_build: int
     if bvalid is not None:
         # push NULL-keyed build rows to a sentinel bucket
         hb = jnp.where(bvalid, hb, jnp.uint64(0xFFFFFFFFFFFFFFFF))
-    res = jax.lax.sort([hb, jnp.arange(n_build, dtype=jnp.int64)], num_keys=1)
+    res = be.multi_sort([hb, jnp.arange(n_build, dtype=jnp.int64)], num_keys=1)
     sorted_h, perm = res
     start = _searchsorted(sorted_h, hp, "left")
     end = _searchsorted(sorted_h, hp, "right")
@@ -80,7 +82,7 @@ def matched_flags(idx: jnp.ndarray, mask: jnp.ndarray, n: int) -> jnp.ndarray:
     """For each of n rows: True iff any pair with that row index passes mask."""
     if idx.shape[0] == 0:
         return jnp.zeros((n,), jnp.bool_)
-    return jax.ops.segment_max(
+    return be.segment_max(
         mask.astype(jnp.int32), idx.astype(jnp.int32), num_segments=n
     ) > 0
 
@@ -93,7 +95,7 @@ def first_match(idx: jnp.ndarray, mask: jnp.ndarray, n: int):
     big = jnp.iinfo(jnp.int64).max
     pos = jnp.arange(idx.shape[0], dtype=jnp.int64)
     cand = jnp.where(mask, pos, big)
-    first = jax.ops.segment_min(cand, idx.astype(jnp.int32), num_segments=n)
+    first = be.segment_min(cand, idx.astype(jnp.int32), num_segments=n)
     found = first < big
     return jnp.where(found, first, 0), found
 
@@ -101,4 +103,4 @@ def first_match(idx: jnp.ndarray, mask: jnp.ndarray, n: int):
 def match_count(idx: jnp.ndarray, mask: jnp.ndarray, n: int) -> jnp.ndarray:
     if idx.shape[0] == 0:
         return jnp.zeros((n,), jnp.int64)
-    return jax.ops.segment_sum(mask.astype(jnp.int64), idx.astype(jnp.int32), num_segments=n)
+    return be.segment_sum(mask.astype(jnp.int64), idx.astype(jnp.int32), num_segments=n)

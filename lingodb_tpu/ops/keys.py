@@ -9,7 +9,8 @@ SubOpToControlFlow lowering generates per state, SubOpToControlFlow.cpp:
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+from .backend import multi_sort
+from .backend import xnp as jnp
 
 from ..runtime.vtable import SCol
 from ..sql.types import K
@@ -23,10 +24,10 @@ def order_image(c: SCol) -> jnp.ndarray:
         return d.astype(jnp.int32)
     if d.dtype == jnp.float64:
         bits = d.view(jnp.int64)
-        return jnp.where(bits < 0, jnp.int64(-0x8000000000000000) - 1 - bits, bits)
+        return jnp.where(bits < 0, ~bits + jnp.int64(-0x8000000000000000), bits)
     if d.dtype == jnp.float32:
         bits = d.view(jnp.int32)
-        return jnp.where(bits < 0, jnp.int32(-0x80000000) - 1 - bits, bits)
+        return jnp.where(bits < 0, ~bits + jnp.int32(-0x80000000), bits)
     return d
 
 
@@ -48,8 +49,6 @@ def sort_permutation(key_cols: list[tuple[SCol, bool, bool | None]], n: int) -> 
 
     key_cols: (col, ascending, nulls_first?) — nulls_first None means SQL
     default (last when ascending, first when descending)."""
-    import jax
-
     operands = []
     for c, asc, nf in key_cols:
         if nf is None:
@@ -63,7 +62,8 @@ def sort_permutation(key_cols: list[tuple[SCol, bool, bool | None]], n: int) -> 
         operands.append(img)
     iota = jnp.arange(n, dtype=jnp.int64)
     operands.append(iota)
-    res = jax.lax.sort(operands, num_keys=len(operands))  # full-key: stable
+    operands = [jnp.broadcast_to(o, (n,)) for o in operands]
+    res = multi_sort(operands, num_keys=len(operands))  # full-key: stable
     return res[-1]
 
 

@@ -12,8 +12,9 @@ run on the host against the dictionary, never the data)."""
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
+
+from .backend import xnp as jnp
 
 from ..plan.exprs import BExpr, Call, CaseExpr, Cast, ColRef, Const
 from ..runtime.vtable import SCol, dec_is_float, jnp_dtype
@@ -95,11 +96,13 @@ def _and_valid(*cols: SCol):
 
 
 def _bcast(c: SCol, n: int) -> SCol:
-    """Broadcast scalar SCol to n rows (only when an op needs full arrays)."""
-    if c.data.ndim != 0:
+    """Broadcast scalar SCol (or scalar validity) to n rows."""
+    if c.data.ndim != 0 and (c.valid is None or c.valid.ndim != 0):
         return c
-    data = jnp.broadcast_to(c.data, (n,))
-    valid = None if c.valid is None else jnp.broadcast_to(c.valid, (n,))
+    data = c.data if c.data.ndim != 0 else jnp.broadcast_to(c.data, (n,))
+    valid = c.valid
+    if valid is not None and valid.ndim == 0:
+        valid = jnp.broadcast_to(valid, (n,))
     return SCol(c.type, data, valid, c.dictionary)
 
 

@@ -24,6 +24,11 @@ def scan_selectivity(entry, scan: L.Scan, preds: list[BExpr]) -> float:
     Memoized per (table, version, predicate set)."""
     if not preds or entry is None or entry.storage is None or entry.num_rows == 0:
         return 1.0
+    if entry.num_rows < 2048:
+        s = 1.0
+        for p in preds:
+            s *= default_selectivity(p)
+        return s
     ck = (entry.name, entry.storage.version, tuple(repr(p) for p in preds))
     hit = _SEL_CACHE.get(ck)
     if hit is not None:

@@ -22,6 +22,46 @@ from .vtable import SCol, VTable
 
 SMALL_ROWS = 8192
 
+_MESH = None
+_MESH_INIT = False
+
+
+def get_mesh():
+    """Data-parallel mesh over all same-platform accelerator (or CPU)
+    devices; None when only one device is available or parallelism is OFF
+    (reference analogue: scheduler worker count from LINGODB_PARALLELISM,
+    Scheduler.cpp:927-939)."""
+    global _MESH, _MESH_INIT
+    if _MESH_INIT:
+        return _MESH
+    _MESH_INIT = True
+    from ..utils.settings import get_setting
+
+    if str(get_setting("system.parallelism")).upper() == "OFF":
+        return None
+    devs = [d for d in jax.devices() if d.platform != "cpu"]
+    if len(devs) < 2:
+        devs = jax.devices("cpu") if not devs else devs
+    if len(devs) < 2:
+        return None
+    from jax.sharding import Mesh
+
+    _MESH = Mesh(np.array(devs), ("dp",))
+    return _MESH
+
+
+def shard_column(arr, mesh):
+    """Row-shard a column over the mesh, padding to a multiple of the axis
+    size. Returns (sharded_array, original_rows)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = mesh.shape["dp"]
+    rows = arr.shape[0]
+    pad = (-rows) % n
+    if pad:
+        arr = np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
+    return jax.device_put(arr, NamedSharding(mesh, P("dp"))), rows
+
 
 def cpu_device():
     try:
@@ -95,6 +135,10 @@ def fetch_arrays_np(arrays: dict) -> dict:
     Returns numpy arrays with the original dtypes."""
     if not arrays:
         return {}
+    from ..ops.backend import any_jax
+
+    if not any_jax(arrays):
+        return {k: np.asarray(a) for k, a in arrays.items()}
     dtypes = {k: np.dtype(a.dtype) for k, a in arrays.items()}
     packed = _pack_to_i64({k: a for k, a in arrays.items()})
     host = np.asarray(jax.device_get(packed))
@@ -128,17 +172,12 @@ def demote_small(vt: VTable) -> VTable:
     downstream operators run without tunnel round trips."""
     if vt.num_rows >= SMALL_ROWS or vt.num_rows == 0:
         return vt
-    if not has_accel() or not vtable_on_accel(vt):
+    if not vtable_on_accel(vt):
         return vt
-    cpu, _ = devices()
     host = fetch_vtable_np(vt)
     cols = {}
     for cid, c in vt.cols.items():
-        data = jax.device_put(host[("d", cid)], cpu)
-        valid = None
-        if c.valid is not None:
-            valid = jax.device_put(host[("v", cid)], cpu)
-        cols[cid] = SCol(c.type, data, valid, c.dictionary)
+        cols[cid] = SCol(c.type, host[("d", cid)], host.get(("v", cid)), c.dictionary)
     return VTable(cols, vt.num_rows)
 
 

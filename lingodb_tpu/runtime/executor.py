@@ -13,8 +13,9 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
+
+from ..ops.backend import xnp as jnp
 
 from ..ops import groupby as gb
 from ..ops import join as joinops
@@ -88,6 +89,9 @@ class Executor:
         for c in op.cols:
             cols[c.cid] = dev[c.name]
         vt = VTable(cols, n)
+        pad = dev["__pad_mask__"]
+        if pad is not None:
+            vt = vt.select_mask(pad)  # drop mesh padding rows
         for r in op.restrictions:
             mask = sc.truth_mask(sc.eval_expr(r, vt.cols))
             vt = vt.select_mask(mask)
@@ -113,9 +117,7 @@ class Executor:
         vt = self.run(op.child)
         cols = dict(vt.cols)
         for info, expr in op.computed:
-            c = sc.eval_expr(expr, cols)
-            if c.data.ndim == 0:
-                c = sc._bcast(c, vt.num_rows)
+            c = sc._bcast(sc.eval_expr(expr, cols), vt.num_rows)
             cols[info.cid] = c
         return VTable(cols, vt.num_rows)
 
@@ -182,10 +184,15 @@ class Executor:
         scan = cur
         steps.reverse()
         entry = self.session.catalog.get_table(scan.table)
-        n = entry.storage.num_rows
-        if n == 0:
+        if entry.storage.num_rows == 0:
             return None
         dev = self.session.device_table(scan.table)
+        n = dev["__num_rows__"]  # includes mesh padding rows
+        from . import device as dv
+
+        if n < dv.SMALL_ROWS:
+            return None  # jit compile cost exceeds eager cost on tiny tables
+        pad_mask = dev["__pad_mask__"]
         key = ("fused_agg", plan_key(op), scan.table, entry.storage.version)
         cache = self.session.stage_cache
         if cache.get(key) == "eager":
@@ -197,6 +204,8 @@ class Executor:
             arrays.append(t.data)
             if t.valid is not None:
                 arrays.append(t.valid)
+        if pad_mask is not None:
+            arrays.append(pad_mask)
 
         if key not in cache:
             meta = {}
@@ -212,7 +221,7 @@ class Executor:
                         valid = arrs[i]
                         i += 1
                     env[cid] = SCol(t.type, data, valid, t.dictionary)
-                mask = None
+                mask = arrs[i] if pad_mask is not None else None
                 for r in scan.restrictions:
                     m = sc.truth_mask(sc.eval_expr(r, env))
                     mask = m if mask is None else mask & m
@@ -303,11 +312,9 @@ class Executor:
         cpu, _accel = dv.devices()
 
         def cpu_col(t, data_np, valid_np, dictionary=None):
-            return SCol(
-                t, jax.device_put(data_np, cpu),
-                None if valid_np is None else jax.device_put(valid_np, cpu),
-                dictionary,
-            )
+            return SCol(t, np.asarray(data_np),
+                        None if valid_np is None else np.asarray(valid_np),
+                        dictionary)
 
         if op.group_by:
             slots_np = np.flatnonzero(present > 0)
@@ -399,6 +406,48 @@ class Executor:
 
         if kind == "cross" and op.predicate is None:
             return self._cross(lvt, rvt)
+
+        # empty-side early outs (also avoid gathers from empty arrays)
+        if nl == 0 or nr == 0:
+            if kind in ("inner", "cross", "semi"):
+                if nl == 0:
+                    cols = {**{cid: _empty_like(c) for cid, c in lvt.cols.items()}}
+                else:
+                    cols = {cid: _empty_like(c) for cid, c in lvt.cols.items()}
+                if kind in ("inner", "cross"):
+                    for c in op.right.output_cols():
+                        cols[c.cid] = _empty_like(rvt.col(c.cid)) if nr else _empty_scol(c.type)
+                return VTable(cols, 0)
+            if kind == "anti":
+                return lvt
+            if kind == "mark":
+                cols = dict(lvt.cols)
+                cols[op.mark_col.cid] = SCol(
+                    op.mark_col.type, jnp.zeros((nl,), jnp.bool_), None)
+                return VTable(cols, nl)
+            if kind in ("left", "single"):
+                if nl == 0:
+                    cols = {cid: _empty_like(c) for cid, c in lvt.cols.items()}
+                    for c in op.right.output_cols():
+                        cols[c.cid] = _empty_scol(c.type)
+                    return VTable(cols, 0)
+                cols = dict(lvt.cols)
+                for c in op.right.output_cols():
+                    cols[c.cid] = _null_scol_typed(c.type, nl)
+                return VTable(cols, nl)
+            if kind == "full":
+                if nl == 0 and nr == 0:
+                    cols = {c.cid: _empty_scol(c.type) for c in op.output_cols()}
+                    return VTable(cols, 0)
+                if nr == 0:
+                    cols = dict(lvt.cols)
+                    for c in op.right.output_cols():
+                        cols[c.cid] = _null_scol_typed(c.type, nl)
+                    return VTable(cols, nl)
+                cols = {cid: _null_scol_typed(lvt.col(cid).type, nr) for cid in lvt.cols}
+                for c in op.right.output_cols():
+                    cols[c.cid] = rvt.col(c.cid)
+                return VTable(cols, nr)
 
         lcids = {c.cid for c in op.left.output_cols()}
         rcids = {c.cid for c in op.right.output_cols()}
@@ -654,6 +703,13 @@ def _all_pairs(nl: int, nr: int):
 def _null_scol(template: SCol, n: int) -> SCol:
     data = jnp.zeros((n,), template.data.dtype)
     return SCol(template.type.as_nullable(), data, jnp.zeros((n,), jnp.bool_), template.dictionary)
+
+
+def _null_scol_typed(t: Type, n: int) -> SCol:
+    return SCol(
+        t.as_nullable(), jnp.zeros((n,), jnp_dtype(t)), jnp.zeros((n,), jnp.bool_),
+        np.array([""], dtype=object) if t.is_string else None,
+    )
 
 
 def _empty_like(c: SCol) -> SCol:

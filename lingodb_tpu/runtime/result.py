@@ -49,6 +49,27 @@ class ResultTable:
             for row in self.to_pylist()
         ]
 
+    def to_arrow(self):
+        """Export as a pyarrow.Table (reference: Python bindings return query
+        results via the Arrow C data interface, tools/python/bridgelib/
+        bridge.cpp:96-122)."""
+        import pyarrow as pa
+
+        from ..storage.table import _to_arrow
+        from ..storage.column import Column
+
+        arrays = []
+        for name, t, data, valid, d in zip(
+            self.names, self.types, self.columns, self.valids, self.dictionaries
+        ):
+            col = Column(t, data, valid, d)
+            arr, _f = _to_arrow(name, t, col, decimal_as_int=False)
+            arrays.append(arr)
+        return pa.Table.from_arrays(arrays, names=list(self.names))
+
+    def to_pandas(self):
+        return self.to_arrow().to_pandas()
+
     def pretty(self, max_rows: int = 50) -> str:
         rows = self.format_rows()[:max_rows]
         widths = [len(n) for n in self.names]

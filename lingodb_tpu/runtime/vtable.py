@@ -73,25 +73,35 @@ class SCol:
     def __len__(self):
         return int(self.data.shape[0])
 
-    def valid_mask(self) -> jax.Array:
+    def valid_mask(self):
         if self.valid is None:
-            return jnp.ones(self.data.shape[0], dtype=jnp.bool_)
+            from ..ops.backend import xnp
+
+            return xnp.ones(self.data.shape[0], dtype=np.bool_)
         return self.valid
 
-    def take(self, idx: jax.Array) -> "SCol":
+    def take(self, idx) -> "SCol":
+        from ..ops.backend import xnp
+
         return SCol(
             self.type,
-            jnp.take(self.data, idx, axis=0),
-            None if self.valid is None else jnp.take(self.valid, idx, axis=0),
+            xnp.take(self.data, idx, axis=0),
+            None if self.valid is None else xnp.take(self.valid, idx, axis=0),
             self.dictionary,
         )
 
-    def take_with_invalid(self, idx: jax.Array, oob_invalid: jax.Array) -> "SCol":
+    def take_with_invalid(self, idx, oob_invalid) -> "SCol":
         """Gather, then mark rows where oob_invalid is True as NULL (used for
         outer joins: unmatched rows gather slot 0 but become NULL)."""
-        data = jnp.take(self.data, jnp.maximum(idx, 0), axis=0)
-        valid = self.valid_mask() if self.valid is not None else None
-        base = jnp.take(valid, jnp.maximum(idx, 0), axis=0) if valid is not None else jnp.ones(idx.shape[0], jnp.bool_)
+        from ..ops.backend import xnp
+
+        bidx = xnp.maximum(idx, 0)
+        data = xnp.take(self.data, bidx, axis=0)
+        base = (
+            xnp.take(self.valid, bidx, axis=0)
+            if self.valid is not None
+            else xnp.ones(idx.shape[0], np.bool_)
+        )
         return SCol(self.type.as_nullable(), data, base & ~oob_invalid, self.dictionary)
 
 
@@ -105,27 +115,36 @@ class VTable:
     def col(self, cid: int) -> SCol:
         return self.cols[cid]
 
-    def take(self, idx: jax.Array, n: int) -> "VTable":
-        """Gather all columns with ONE device call (jitted pytree gather)."""
+    def take(self, idx, n: int) -> "VTable":
+        """Gather all columns with ONE device call (jitted pytree gather) on
+        the accelerator; plain numpy fancy-indexing on host tables."""
+        from ..ops.backend import any_jax
+
         arrays = {}
         for cid, c in self.cols.items():
             arrays[("d", cid)] = c.data
             if c.valid is not None:
                 arrays[("v", cid)] = c.valid
-        out = _gather_tree(idx, arrays)
+        if any_jax(idx, arrays):
+            out = _gather_tree(idx, arrays)
+        else:
+            bidx = np.maximum(np.asarray(idx), 0)
+            out = {k: np.take(a, bidx, axis=0) for k, a in arrays.items()}
         cols = {}
         for cid, c in self.cols.items():
             cols[cid] = SCol(c.type, out[("d", cid)], out.get(("v", cid)), c.dictionary)
         return VTable(cols, n)
 
-    def select_mask(self, mask: jax.Array) -> "VTable":
+    def select_mask(self, mask) -> "VTable":
         """Compact rows where mask is True (one host sync for the count)."""
+        from ..ops.backend import xnp
+
         if mask.ndim == 0:
-            mask = jnp.broadcast_to(mask, (self.num_rows,))
-        n = int(jnp.sum(mask))
+            mask = xnp.broadcast_to(mask, (self.num_rows,))
+        n = int(xnp.sum(mask))
         if n == self.num_rows:
             return self
-        (idx,) = jnp.nonzero(mask, size=n)
+        (idx,) = xnp.nonzero(mask, size=n)
         return self.take(idx, n)
 
     def merge(self, other: "VTable") -> "VTable":

@@ -204,23 +204,53 @@ class _LazyDeviceTable:
         self._cols: dict[str, SCol] = {}
 
     def __getitem__(self, key):
+        import jax
+
+        from .runtime import device as dv
+
+        mesh = dv.get_mesh() if self._storage.num_rows >= dv.SMALL_ROWS else None
         if key == "__num_rows__":
+            if mesh is not None:
+                n = mesh.shape["dp"]
+                return self._storage.num_rows + (-self._storage.num_rows) % n
             return self._storage.num_rows
+        if key == "__pad_mask__":
+            # rows beyond the true count are padding when sharded over a mesh
+            if mesh is None or self._storage.num_rows % mesh.shape["dp"] == 0:
+                return None
+            m = self._cols.get("__pad_mask__")
+            if m is None:
+                import numpy as _np
+
+                rows = self._storage.num_rows
+                total = rows + (-rows) % mesh.shape["dp"]
+                mask = _np.zeros(total, _np.bool_)
+                mask[:rows] = True
+                m, _ = dv.shard_column(mask, mesh)
+                self._cols["__pad_mask__"] = m
+            return m
         c = self._cols.get(key)
         if c is None:
-            import jax
-
-            from .runtime import device as dv
-
-            cpu, accel = dv.devices()
-            target = cpu if self._storage.num_rows < dv.SMALL_ROWS else accel
             col = self._storage.column(key)
             with tracer.Trace("runtime", f"upload:{self._storage.name}.{key}"):
-                c = SCol(
-                    col.type, jax.device_put(col.data, target),
-                    None if col.valid is None else jax.device_put(col.valid, target),
-                    col.dictionary,
-                )
+                if mesh is not None:
+                    data, _ = dv.shard_column(np.asarray(col.data), mesh)
+                    valid = None
+                    if col.valid is not None:
+                        valid, _ = dv.shard_column(np.asarray(col.valid), mesh)
+                    c = SCol(col.type, data, valid, col.dictionary)
+                elif self._storage.num_rows < dv.SMALL_ROWS:
+                    # small tables stay host numpy: operators run through the
+                    # numpy twin backend with zero XLA compilation
+                    c = SCol(col.type, np.ascontiguousarray(col.data),
+                             col.valid, col.dictionary)
+                else:
+                    _cpu, accel = dv.devices()
+                    c = SCol(
+                        col.type, jax.device_put(col.data, accel),
+                        None if col.valid is None else jax.device_put(col.valid, accel),
+                        col.dictionary,
+                    )
             self._cols[key] = c
         return c
 

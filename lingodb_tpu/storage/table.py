@@ -137,7 +137,7 @@ class TableStorage:
         return t
 
 
-def _to_arrow(name: str, t: Type, c: Column):
+def _to_arrow(name: str, t: Type, c: Column, decimal_as_int: bool = True):
     import pyarrow as pa
 
     mask = None if c.valid is None else ~c.valid
@@ -146,8 +146,29 @@ def _to_arrow(name: str, t: Type, c: Column):
         arr = pa.array(vals, type=pa.string(), mask=mask)
         return arr, pa.field(name, pa.string(), t.nullable)
     if t.kind == K.DECIMAL:
-        arr = pa.array(c.data, mask=mask).cast(pa.decimal128(max(t.p, 1), t.s))
-        return arr, pa.field(name, pa.decimal128(max(t.p, 1), t.s), t.nullable)
+        if decimal_as_int:
+            # persist the scaled-int64 representation directly (fast bulk
+            # path); the logical decimal type lives in catalog.json.
+            # _from_arrow accepts both this form and real decimal128 columns
+            # (LingoDB data dirs).
+            arr = pa.array(c.data, mask=mask)
+            return arr, pa.field(name, arr.type, t.nullable)
+        # reinterpret scaled int64 as decimal128 by building the 16-byte
+        # little-endian two's-complement buffer directly (vectorized)
+        dt = pa.decimal128(max(t.p, 1), t.s)
+        lo = c.data.astype(np.int64)
+        hi = np.where(lo < 0, np.int64(-1), np.int64(0))
+        buf = np.empty((len(lo), 2), dtype=np.int64)
+        buf[:, 0] = lo
+        buf[:, 1] = hi
+        validbuf = None
+        if mask is not None:
+            validbuf = pa.array(~mask).buffers()[1]
+        arr = pa.Array.from_buffers(
+            dt, len(lo), [validbuf, pa.py_buffer(buf.tobytes())],
+            null_count=int(mask.sum()) if mask is not None else 0,
+        )
+        return arr, pa.field(name, dt, t.nullable)
     if t.kind == K.DATE:
         arr = pa.array(c.data.astype("datetime64[D]"), mask=mask)
         return arr, pa.field(name, pa.date32(), t.nullable)
@@ -174,6 +195,9 @@ def _from_arrow(t: Type, chunked) -> Column:
         dictionary, codes = encode_strings(["" if v is None else v for v in pyvals])
         return Column(t, codes, valid, dictionary)
     if t.kind == K.DECIMAL:
+        if pa.types.is_integer(arr.type):  # our scaled-int64 persistence form
+            data = np.asarray(arr.fill_null(0) if arr.null_count else arr)
+            return Column(t, data.astype(np.int64), valid)
         ints = np.array([0 if v is None else int(v.scaleb(t.s)) for v in arr.to_pylist()], dtype=np.int64)
         return Column(t, ints, valid)
     if t.kind == K.DATE:
