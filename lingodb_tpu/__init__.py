@@ -23,6 +23,22 @@ def _configure_jax():
 
     jax.config.update("jax_enable_x64", True)
 
+    # persistent compilation cache: compiles through the TPU tunnel cost
+    # minutes; cache serialized executables across processes (the analogue of
+    # the reference's ORC object cache, LLVMBackends.cpp:192-203)
+    default_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "xla"
+    )
+    cache_dir = os.environ.get("LINGODB_COMPILATION_CACHE", default_dir)
+    if cache_dir and cache_dir.upper() != "OFF":
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        except Exception:
+            pass
+
 
 _configure_jax()
 

@@ -67,10 +67,97 @@ def multi_sort(operands: list, num_keys: int) -> list:
 
 
 # ------------------------------------------------------- segment reductions
+#
+# XLA:TPU lowers scatter-with-duplicate-indices to a serialized loop (~440ms
+# for 6M rows measured through this environment's chip), so jax.ops.segment_*
+# is the LAST resort on TPU. Strategy ladder (TPU only; CPU scatter is fast):
+#   small domain  (D <= MASKED_LIMIT): per-group masked reductions — XLA fuses
+#                 the broadcast-compare-reduce into one streaming pass.
+#   sorted seg    : sum via cumsum + boundary gather; min/max via a segmented
+#                 associative scan + boundary gather (O(N log N) vector work).
+#   otherwise     : scatter fallback.
+MASKED_LIMIT = 64
+
+
+def _tpu_target() -> bool:
+    return jax.default_backend() != "cpu"
+
+
+def _segment_via_mask(vals, seg, num_segments, kind):
+    ids = jnp.arange(num_segments, dtype=seg.dtype)
+    onehot = seg[None, :] == ids[:, None]  # D x N, fused by XLA (never materialized)
+    if kind == "sum":
+        contrib = jnp.where(onehot, vals[None, :], jnp.zeros_like(vals)[None, :])
+        return jnp.sum(contrib, axis=1)
+    sentinel = _extreme(vals.dtype, maximum=(kind == "min"))
+    contrib = jnp.where(onehot, vals[None, :], sentinel)
+    red = jnp.min if kind == "min" else jnp.max
+    return red(contrib, axis=1)
+
+
+def _sorted_segment_sum(vals, seg, num_segments):
+    cs = jnp.cumsum(vals, dtype=vals.dtype)
+    ids = jnp.arange(num_segments, dtype=seg.dtype)
+    ends = jnp.searchsorted(seg, ids, side="right")
+    tot = jnp.where(ends > 0, cs[jnp.maximum(ends - 1, 0)], jnp.zeros((), vals.dtype))
+    starts = jnp.searchsorted(seg, ids, side="left")
+    lo = jnp.where(starts > 0, cs[jnp.maximum(starts - 1, 0)], jnp.zeros((), vals.dtype))
+    return tot - lo
+
+
+def _sorted_segment_minmax(vals, seg, num_segments, kind):
+    # inclusive segmented scan: carry resets at segment starts
+    n = vals.shape[0]
+    starts = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), seg[1:] != seg[:-1]]) if n else jnp.zeros((0,), jnp.bool_)
+    op = jnp.minimum if kind == "min" else jnp.maximum
+
+    def combine(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, jnp.where(bf, bv, op(av, bv))
+
+    _, scanned = jax.lax.associative_scan(combine, (starts, vals))
+    ids = jnp.arange(num_segments, dtype=seg.dtype)
+    ends = jnp.searchsorted(seg, ids, side="right")
+    empty = ends == jnp.searchsorted(seg, ids, side="left")
+    sentinel = _extreme(vals.dtype, maximum=(kind == "min"))
+    return jnp.where(empty, sentinel, scanned[jnp.maximum(ends - 1, 0)])
+
+
+def _extreme(dtype, maximum: bool):
+    if jnp.issubdtype(dtype, jnp.floating):
+        return jnp.array(jnp.inf if maximum else -jnp.inf, dtype)
+    if dtype == jnp.bool_:
+        return jnp.array(maximum, dtype)
+    info = jnp.iinfo(dtype)
+    return jnp.array(info.max if maximum else info.min, dtype)
+
+
+def _segment_jax(vals, seg, num_segments, indices_are_sorted, kind):
+    flat = vals.ndim == 1
+    if flat and num_segments > 0 and _tpu_target():
+        if indices_are_sorted:
+            if kind == "sum":
+                return _sorted_segment_sum(vals, seg, num_segments)
+            return _sorted_segment_minmax(vals, seg, num_segments, kind)
+        if num_segments <= MASKED_LIMIT:
+            return _segment_via_mask(vals, seg, num_segments, kind)
+        # medium/large domain, unsorted: sort by segment id in-kernel, then
+        # use the sorted strategy — ~10x faster than TPU scatter at 6M rows
+        sseg, svals = jax.lax.sort([seg, vals], num_keys=1)
+        if kind == "sum":
+            return _sorted_segment_sum(svals, sseg, num_segments)
+        return _sorted_segment_minmax(svals, sseg, num_segments, kind)
+    f = {"sum": jax.ops.segment_sum, "min": jax.ops.segment_min,
+         "max": jax.ops.segment_max}[kind]
+    return f(vals, seg, num_segments=num_segments,
+             indices_are_sorted=indices_are_sorted)
+
+
 def segment_sum(vals, seg, num_segments: int, indices_are_sorted=False):
     if any_jax(vals, seg):
-        return jax.ops.segment_sum(vals, seg, num_segments=num_segments,
-                                   indices_are_sorted=indices_are_sorted)
+        return _segment_jax(vals, seg, num_segments, indices_are_sorted, "sum")
     out = np.zeros((num_segments,) + np.shape(vals)[1:], dtype=np.asarray(vals).dtype)
     np.add.at(out, np.asarray(seg), np.asarray(vals))
     return out
@@ -78,8 +165,7 @@ def segment_sum(vals, seg, num_segments: int, indices_are_sorted=False):
 
 def segment_min(vals, seg, num_segments: int, indices_are_sorted=False):
     if any_jax(vals, seg):
-        return jax.ops.segment_min(vals, seg, num_segments=num_segments,
-                                   indices_are_sorted=indices_are_sorted)
+        return _segment_jax(vals, seg, num_segments, indices_are_sorted, "min")
     vals = np.asarray(vals)
     out = np.full((num_segments,), _extreme_np(vals.dtype, True), dtype=vals.dtype)
     np.minimum.at(out, np.asarray(seg), vals)
@@ -88,8 +174,7 @@ def segment_min(vals, seg, num_segments: int, indices_are_sorted=False):
 
 def segment_max(vals, seg, num_segments: int, indices_are_sorted=False):
     if any_jax(vals, seg):
-        return jax.ops.segment_max(vals, seg, num_segments=num_segments,
-                                   indices_are_sorted=indices_are_sorted)
+        return _segment_jax(vals, seg, num_segments, indices_are_sorted, "max")
     vals = np.asarray(vals)
     out = np.full((num_segments,), _extreme_np(vals.dtype, False), dtype=vals.dtype)
     np.maximum.at(out, np.asarray(seg), vals)

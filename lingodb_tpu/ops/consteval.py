@@ -61,11 +61,11 @@ def _num(v, t: Type):
         return v, t.s
     if t.kind in (K.DATE,):
         if isinstance(v, str):
-            return int((np.datetime64(v, "D") - EPOCH).astype(np.int64)), 0
+            return int((np.datetime64(_norm_date_str(v), "D") - EPOCH).astype(np.int64)), 0
         return int(v), 0
     if t.kind == K.TIMESTAMP:
         if isinstance(v, str):
-            return int(np.datetime64(v, "us").astype(np.int64)), 0
+            return int(np.datetime64(_norm_date_str(v), "us").astype(np.int64)), 0
         return int(v), 0
     return v, 0
 
@@ -228,13 +228,13 @@ def coerce_py(v, t: Type, target: Type):
         return str(v)
     if target.kind == K.DATE:
         if isinstance(v, str):
-            return int((np.datetime64(v.strip(), "D") - EPOCH).astype(np.int64))
+            return int((np.datetime64(_norm_date_str(v), "D") - EPOCH).astype(np.int64))
         if t.kind == K.TIMESTAMP:
             return int(v // 86_400_000_000)
         return int(v)
     if target.kind == K.TIMESTAMP:
         if isinstance(v, str):
-            return int(np.datetime64(v.strip(), "us").astype(np.int64))
+            return int(np.datetime64(_norm_date_str(v), "us").astype(np.int64))
         if t.kind == K.DATE:
             return int(v) * 86_400_000_000
         return int(v)
@@ -254,3 +254,14 @@ def _dec_str(v: int, s: int) -> str:
         return f"{sign}{v}"
     ip, fp = divmod(v, 10**s)
     return f"{sign}{ip}.{fp:0{s}d}"
+
+
+def _norm_date_str(v: str) -> str:
+    """Normalize non-zero-padded ISO dates (accepted by the reference's date
+    parser, mlir-support/parsing.cpp) for numpy: 2002-2-1 -> 2002-02-01."""
+    import re as _re
+
+    m = _re.match(r"^(\d{4})-(\d{1,2})-(\d{1,2})(.*)$", v.strip())
+    if m:
+        return f"{m.group(1)}-{int(m.group(2)):02d}-{int(m.group(3)):02d}{m.group(4)}"
+    return v.strip()

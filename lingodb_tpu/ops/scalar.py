@@ -32,7 +32,8 @@ class EvalError(Exception):
 def const_scol(value, t: Type) -> SCol:
     """Build a broadcastable scalar SCol for a constant."""
     if value is None:
-        return SCol(t.as_nullable(), jnp.zeros((), jnp_dtype(t)), jnp.zeros((), jnp.bool_))
+        return SCol(t.as_nullable(), jnp.zeros((), jnp_dtype(t)), jnp.zeros((), jnp.bool_),
+                    np.array([""], dtype=object) if t.is_string else None)
     if t.is_string:
         return SCol(t, jnp.zeros((), jnp.int32), None, np.array([str(value)], dtype=object))
     v = _const_physical(value, t)
@@ -50,11 +51,11 @@ def _const_physical(v, t: Type):
         return iv / 10**t.s if dec_is_float(t) else iv
     if t.kind == K.DATE:
         if isinstance(v, str):
-            return int((np.datetime64(v.strip(), "D") - EPOCH).astype(np.int64))
+            return int((np.datetime64(_norm_date_str(v), "D") - EPOCH).astype(np.int64))
         return int(v)
     if t.kind == K.TIMESTAMP:
         if isinstance(v, str):
-            return int(np.datetime64(v.strip(), "us").astype(np.int64))
+            return int(np.datetime64(_norm_date_str(v), "us").astype(np.int64))
         return int(v)
     if t.kind == K.BOOL:
         return bool(v)
@@ -245,9 +246,9 @@ def _cast_from_string(a: SCol, d: Type) -> SCol:
             return SCol(d, lut(lambda s: float(s) if s.strip() else 0.0, np.float64), valid)
         return SCol(d, lut(lambda s: decimal_str_to_int(s, d.s) if s.strip() else 0, np.int64), valid)
     if d.kind == K.DATE:
-        return SCol(d, lut(lambda s: int((np.datetime64(s.strip(), "D") - EPOCH).astype(np.int64)) if s.strip() else 0, np.int32), valid)
+        return SCol(d, lut(lambda s: int((np.datetime64(_norm_date_str(s), "D") - EPOCH).astype(np.int64)) if s.strip() else 0, np.int32), valid)
     if d.kind == K.TIMESTAMP:
-        return SCol(d, lut(lambda s: int(np.datetime64(s.strip(), "us").astype(np.int64)) if s.strip() else 0, np.int64), valid)
+        return SCol(d, lut(lambda s: int(np.datetime64(_norm_date_str(s), "us").astype(np.int64)) if s.strip() else 0, np.int64), valid)
     if d.kind == K.BOOL:
         return SCol(d, lut(lambda s: s.strip().lower() in ("t", "true", "1", "yes"), np.bool_), valid)
     if d.is_string:
@@ -840,3 +841,14 @@ def _eval_date_addsub(op: str, a: SCol, iv_expr: BExpr, iv: SCol, t: Type) -> SC
         out = a.data.astype(jnp.int64) + us // US_PER_DAY
         return SCol(t, out.astype(jnp.int32), valid)
     return SCol(t, a.data + us, valid)
+
+
+def _norm_date_str(v: str) -> str:
+    """Normalize non-zero-padded ISO dates (accepted by the reference's date
+    parser, mlir-support/parsing.cpp) for numpy: 2002-2-1 -> 2002-02-01."""
+    import re as _re
+
+    m = _re.match(r"^(\d{4})-(\d{1,2})-(\d{1,2})(.*)$", v.strip())
+    if m:
+        return f"{m.group(1)}-{int(m.group(2)):02d}-{int(m.group(3)):02d}{m.group(4)}"
+    return v.strip()

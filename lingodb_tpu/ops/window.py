@@ -15,6 +15,8 @@ Results scatter back to the original row order."""
 from __future__ import annotations
 
 import jax
+
+from . import backend as be
 import jax.numpy as jnp
 import numpy as np
 
@@ -64,8 +66,8 @@ def run_window(op: L.Window, vt: VTable) -> VTable:
     seg = jnp.cumsum(pb.astype(jnp.int64)) - 1
     num_parts = int(seg[-1]) + 1
     pos = jnp.arange(n, dtype=jnp.int64)
-    part_start = jax.ops.segment_min(pos, seg.astype(jnp.int32), num_segments=num_parts, indices_are_sorted=True)
-    part_end = jax.ops.segment_max(pos, seg.astype(jnp.int32), num_segments=num_parts, indices_are_sorted=True)
+    part_start = be.segment_min(pos, seg.astype(jnp.int32), num_segments=num_parts, indices_are_sorted=True)
+    part_end = be.segment_max(pos, seg.astype(jnp.int32), num_segments=num_parts, indices_are_sorted=True)
     pos_in_part = pos - jnp.take(part_start, seg)
 
     # order-key run boundaries (peer groups) for rank/dense_rank
@@ -187,9 +189,9 @@ def _compute_fn(f: L.WindowFn, op: L.Window, vt: VTable, perm, seg, num_parts,
             cnt = _segmented_cumsum(
                 jnp.ones((n,), jnp.int64) if valid_rows is None else valid_rows.astype(jnp.int64), pb)
         else:
-            stot = jax.ops.segment_sum(x, seg.astype(jnp.int32), num_segments=num_parts, indices_are_sorted=True)
+            stot = be.segment_sum(x, seg.astype(jnp.int32), num_segments=num_parts, indices_are_sorted=True)
             s = jnp.take(stot, seg, axis=0)
-            ctot = jax.ops.segment_sum(
+            ctot = be.segment_sum(
                 jnp.ones((n,), jnp.int64) if valid_rows is None else valid_rows.astype(jnp.int64),
                 seg.astype(jnp.int32), num_segments=num_parts, indices_are_sorted=True)
             cnt = jnp.take(ctot, seg)
@@ -210,14 +212,14 @@ def _compute_fn(f: L.WindowFn, op: L.Window, vt: VTable, perm, seg, num_parts,
         if running:
             out = _segmented_scan_minmax(x, pb, fn == "min")
         else:
-            tot = (jax.ops.segment_min if fn == "min" else jax.ops.segment_max)(
+            tot = (be.segment_min if fn == "min" else be.segment_max)(
                 x, seg.astype(jnp.int32), num_segments=num_parts, indices_are_sorted=True)
             out = jnp.take(tot, seg, axis=0)
         cnt_arr = jnp.ones((n,), jnp.int64) if valid_rows is None else valid_rows.astype(jnp.int64)
         if running:
             cnt = _segmented_cumsum(cnt_arr, pb)
         else:
-            ctot = jax.ops.segment_sum(cnt_arr, seg.astype(jnp.int32), num_segments=num_parts, indices_are_sorted=True)
+            ctot = be.segment_sum(cnt_arr, seg.astype(jnp.int32), num_segments=num_parts, indices_are_sorted=True)
             cnt = jnp.take(ctot, seg)
         return SCol(t, out, cnt > 0, arg_sorted.dictionary)
     raise NotImplementedError(f"window function {fn}")

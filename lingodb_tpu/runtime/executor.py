@@ -15,6 +15,7 @@ from typing import Optional
 import jax
 import numpy as np
 
+from ..ops import backend as be
 from ..ops.backend import xnp as jnp
 
 from ..ops import groupby as gb
@@ -251,7 +252,7 @@ class Executor:
 
                 def msum(w):
                     wm = w if mask is None else jnp.where(mask, w, jnp.zeros_like(w))
-                    return jax.ops.segment_sum(wm, gid, num_segments=domain)
+                    return be.segment_sum(wm, gid, num_segments=domain)
 
                 ones = jnp.ones((n,), jnp.int64)
                 present = msum(ones)
@@ -282,7 +283,7 @@ class Executor:
                     keep = mask if avalid is None else (
                         avalid if mask is None else (mask & avalid))
                     data = arg.data if keep is None else jnp.where(keep, arg.data, sentinel)
-                    red = (jax.ops.segment_min if spec.fn == "min" else jax.ops.segment_max)(
+                    red = (be.segment_min if spec.fn == "min" else be.segment_max)(
                         data, gid, num_segments=domain)
                     meta["agg_dicts"][spec.out.cid] = arg.dictionary
                     outs.append(red)
@@ -594,8 +595,8 @@ class Executor:
         grp = gb.group_rows([both.col(c.cid) for c in op.cols], n)
         seg, g, order = grp["seg"], grp["num_groups"], grp["order"]
         t = tag if order is None else jnp.take(tag, order)
-        r_count = jax.ops.segment_sum(t, seg, num_segments=g, indices_are_sorted=grp["sorted"])
-        tot = jax.ops.segment_sum(jnp.ones_like(t), seg, num_segments=g, indices_are_sorted=grp["sorted"])
+        r_count = be.segment_sum(t, seg, num_segments=g, indices_are_sorted=grp["sorted"])
+        tot = be.segment_sum(jnp.ones_like(t), seg, num_segments=g, indices_are_sorted=grp["sorted"])
         l_count = tot - r_count
         if op.kind == "union":
             reps = jnp.ones((g,), jnp.int64)

@@ -75,6 +75,24 @@ class Session:
             if get_setting("sql.report_times"):
                 print(t.report())
             return res
+        if isinstance(stmt, A.ExplainStmt):
+            from .sql.types import Type
+
+            binder = Binder(self.catalog)
+            plan = binder.bind_query(stmt.query)
+            if stmt.verbose:
+                lines = ["-- logical plan (pre-optimization)"]
+                lines += plan.pretty().splitlines()
+                lines.append("-- optimized plan")
+            else:
+                lines = []
+            plan = optimize(plan, self.catalog)
+            lines += plan.pretty().splitlines()
+            from .storage.column import encode_strings
+
+            dct, codes = encode_strings(lines)
+            return ResultTable(["plan"], [Type.string()], [codes], [None],
+                               [dct], len(lines))
         if isinstance(stmt, A.CreateTableStmt):
             names = [c.name for c in stmt.columns]
             types = [

@@ -229,6 +229,16 @@ class SelectStmt:
 
 
 @dataclass
+class ExplainStmt:
+    """EXPLAIN [VERBOSE] <query> (reference: relalg plan dumps used by the
+    ct tooling, tools/ct/mlir-relalg-to-json.cpp; LingoDB exposes plans via
+    snapshot files rather than an EXPLAIN statement — we expose both)."""
+
+    query: "SelectStmt"
+    verbose: bool = False
+
+
+@dataclass
 class ColumnDef:
     name: str
     type: Type

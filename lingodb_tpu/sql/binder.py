@@ -509,12 +509,13 @@ class Binder:
             plan = L.Distinct(plan, [c.cid for c in out_cols])
 
         plan, out_cols = self._apply_order_limit(
-            plan, out_cols, stmt, scope, out_cols, group_repl, agg_collect
+            plan, out_cols, stmt, scope, out_cols, group_repl, agg_collect,
+            alias_map,
         )
         return plan, out_cols
 
     def _apply_order_limit(self, plan, out_cols, stmt, scope, select_cols,
-                           group_repl=None, agg_collect=None):
+                           group_repl=None, agg_collect=None, alias_map=None):
         if stmt.order_by:
             keys = []
             computed = []
@@ -533,6 +534,8 @@ class Binder:
                     if hit:
                         keys.append(L.SortKey(hit[0].cid, o.ascending, o.nulls_first))
                         continue
+                if alias_map:
+                    e = self._substitute_alias_deep(e, alias_map, scope)
                 b = self.bind_post_agg(e, scope, group_repl, agg_collect)
                 if isinstance(b, ColRef):
                     keys.append(L.SortKey(b.cid, o.ascending, o.nulls_first))
@@ -555,6 +558,41 @@ class Binder:
                 self.const_int(stmt.offset) if stmt.offset else 0,
             )
         return plan, out_cols
+
+    def _substitute_alias_deep(self, e: A.Expr, alias_map, scope) -> A.Expr:
+        """Replace select-aliases nested anywhere inside an ORDER BY expression
+        with their select expression — but only where the name does not
+        resolve as a real column (real columns shadow aliases, as in the
+        reference's analyzer). Needed for TPC-DS patterns like
+        `order by case when lochierarchy = 0 then i_category end`."""
+        import copy
+
+        if isinstance(e, A.ColumnRef) and len(e.parts) == 1 and e.parts[0] in alias_map:
+            try:
+                scope.resolve(list(e.parts))
+                return e
+            except BindError:
+                return copy.deepcopy(alias_map[e.parts[0]])
+        if not hasattr(e, "__dataclass_fields__"):
+            return e
+        out = copy.copy(e)
+        for f in e.__dataclass_fields__:
+            v = getattr(e, f)
+            if isinstance(v, A.Expr):
+                setattr(out, f, self._substitute_alias_deep(v, alias_map, scope))
+            elif isinstance(v, list):
+                nl = []
+                for i in v:
+                    if isinstance(i, A.Expr):
+                        nl.append(self._substitute_alias_deep(i, alias_map, scope))
+                    elif isinstance(i, tuple):
+                        nl.append(tuple(
+                            self._substitute_alias_deep(j, alias_map, scope)
+                            if isinstance(j, A.Expr) else j for j in i))
+                    else:
+                        nl.append(i)
+                setattr(out, f, nl)
+        return out
 
     # ----------------------------------------------------------- aggregation
     def _substitute_alias(self, g: A.Expr, alias_map, items):
@@ -598,12 +636,29 @@ class Binder:
         group_repl maps serialized AST -> ColRef of the group column;
         agg_collect is a callable that registers an aggregate and returns its
         output ColRef."""
+        # ROLLUP/CUBE expand to a union of per-grouping-set aggregates
+        # (reference: not in LingoDB's grammar surface, but required by the
+        # TPC-DS suite it ships; the classic expansion mirrors how engines
+        # without native grouping-set operators lower it)
+        rollup_exprs: list[A.Expr] = []
+        cube_exprs: list[A.Expr] = []
+        plain_exprs: list[A.Expr] = []
+        for g in group_exprs_ast:
+            if isinstance(g, A.FuncCall) and g.over is None and g.name == "rollup":
+                rollup_exprs.extend(g.args)
+            elif isinstance(g, A.FuncCall) and g.over is None and g.name == "cube":
+                cube_exprs.extend(g.args)
+            else:
+                plain_exprs.append(g)
+        variadic_exprs = rollup_exprs + cube_exprs
+        group_exprs_ast = plain_exprs + variadic_exprs
+
         pre_computed: list[tuple[ColInfo, BExpr]] = []
         group_cids: list[int] = []
         group_cols: list[ColInfo] = []
         group_repl: dict[str, ColRef] = {}
 
-        for g in group_exprs_ast:
+        for gi, g in enumerate(group_exprs_ast):
             b = self.bind_scalar(g, scope)
             key = _ast_key(g)
             if isinstance(b, ColRef):
@@ -613,7 +668,9 @@ class Binder:
                 pre_computed.append((info, b))
             group_cids.append(info.cid)
             group_cols.append(info)
-            group_repl[key] = ColRef(info.cid, info.type)
+            is_variadic = gi >= len(plain_exprs)
+            group_repl[key] = ColRef(
+                info.cid, info.type.as_nullable() if is_variadic else info.type)
 
         aggs: list[L.AggSpec] = []
         agg_cache: dict[tuple, ColRef] = {}
@@ -634,7 +691,56 @@ class Binder:
             p = plan_holder[0]
             if pre_computed:
                 p = L.Map(p, pre_computed)
-            return L.Aggregate(p, group_cids, aggs, group_cols)
+            if not variadic_exprs:
+                return L.Aggregate(p, group_cids, aggs, group_cols)
+            return build_grouping_sets(p)
+
+        def build_grouping_sets(p):
+            from ..sql.types import Type as _T
+
+            n_plain = len(plain_exprs)
+            var_cols = group_cols[n_plain:]
+            # grouping sets over the variadic keys: rollup = prefixes
+            # (full..empty), cube = all subsets
+            k = len(var_cols)
+            if cube_exprs and not rollup_exprs:
+                sets = [frozenset(i for i in range(k) if (m >> i) & 1)
+                        for m in range((1 << k) - 1, -1, -1)]
+            else:
+                sets = [frozenset(range(j)) for j in range(k, -1, -1)]
+            # grouping() flag columns: one per variadic key, same cid in
+            # every branch so the union maps them positionally
+            int_t = _T.int_()
+            flag_cols = [self.fresh(f"grouping_{c.name}", int_t) for c in var_cols]
+            for ge, fc in zip(variadic_exprs, flag_cols):
+                gkey = _ast_key(A.FuncCall("grouping", [ge]))
+                group_repl[gkey] = ColRef(fc.cid, int_t)
+
+            branches = []
+            for s in sets:
+                keys = group_cids[:n_plain] + [var_cols[i].cid for i in range(k) if i in s]
+                cols = group_cols[:n_plain] + [var_cols[i] for i in range(k) if i in s]
+                br = L.Aggregate(p, keys, aggs, cols)
+                entries: list[tuple[ColInfo, BExpr]] = []
+                for i in range(k):
+                    if i not in s:
+                        nt = var_cols[i].type.as_nullable()
+                        entries.append((ColInfo(var_cols[i].cid, var_cols[i].name, nt),
+                                        Const(None, nt)))
+                    entries.append((flag_cols[i], Const(0 if i in s else 1, int_t)))
+                branches.append(L.Map(br, entries))
+
+            out_cols = (
+                [ColInfo(c.cid, c.name, c.type) for c in group_cols[:n_plain]]
+                + [ColInfo(c.cid, c.name, c.type.as_nullable()) for c in var_cols]
+                + [ColInfo(a.out.cid, a.out.name, a.out.type) for a in aggs]
+                + list(flag_cols)
+            )
+            cid_list = [c.cid for c in out_cols]
+            u = branches[0]
+            for br in branches[1:]:
+                u = L.SetOp("union", True, u, br, out_cols, cid_list, cid_list)
+            return u
 
         self._agg_finish = finish  # used by bind_select_core via closure
         # We finish lazily: bind_post_agg registers aggregates; but the plan

@@ -30,6 +30,7 @@ KEYWORDS = {
     "minute", "second", "time",
     # misc
     "primary", "key", "foreign", "references", "unique", "default", "check",
+    "explain", "verbose",
     "constraint", "if", "replace", "into", "returning",
 }
 

@@ -108,6 +108,10 @@ class Parser:
                 return self.parse_drop()
             if t.value == "from":
                 return self.parse_pipe_sql()
+            if t.value == "explain":
+                self.next()
+                verbose = bool(self.accept_kw("verbose"))
+                return A.ExplainStmt(self.parse_statement(), verbose)
         if t.kind == "op" and t.value == "(":
             return self.parse_select()
         raise ParseError(f"unsupported statement start {t.value!r} at {t.pos}")

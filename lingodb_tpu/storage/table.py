@@ -142,6 +142,13 @@ def _to_arrow(name: str, t: Type, c: Column, decimal_as_int: bool = True):
 
     mask = None if c.valid is None else ~c.valid
     if t.is_string:
+        if decimal_as_int:
+            # persistence fast path: keep the dictionary encoding (codes +
+            # sorted dictionary), no per-value Python loop on either side
+            codes = pa.array(c.data.astype(np.int32), mask=mask)
+            dct = pa.array(c.dictionary, type=pa.string())
+            arr = pa.DictionaryArray.from_arrays(codes, dct)
+            return arr, pa.field(name, arr.type, t.nullable)
         vals = c.dictionary[c.data] if len(c.data) else np.zeros(0, dtype=object)
         arr = pa.array(vals, type=pa.string(), mask=mask)
         return arr, pa.field(name, pa.string(), t.nullable)
@@ -189,9 +196,23 @@ def _from_arrow(t: Type, chunked) -> Column:
     if arr.null_count:
         valid = ~np.asarray(arr.is_null())
     if t.is_string:
-        pyvals = arr.to_pylist()
         from .column import encode_strings
 
+        if pa.types.is_dictionary(arr.type):
+            dct = np.asarray(arr.dictionary.to_pylist(), dtype=object)
+            codes = np.asarray(arr.indices.fill_null(0) if arr.null_count else arr.indices)
+            codes = codes.astype(np.int32)
+            if len(dct) > 1 and not np.all(dct[:-1] <= dct[1:]):
+                # foreign file with unsorted dictionary: re-sort (engine
+                # invariant: dictionaries are sorted for order-preserving
+                # comparisons on codes)
+                order = np.argsort(dct)
+                remap = np.empty(len(dct), np.int32)
+                remap[order] = np.arange(len(dct), dtype=np.int32)
+                dct = dct[order]
+                codes = remap[codes]
+            return Column(t, codes, valid, dct)
+        pyvals = arr.to_pylist()
         dictionary, codes = encode_strings(["" if v is None else v for v in pyvals])
         return Column(t, codes, valid, dictionary)
     if t.kind == K.DECIMAL:

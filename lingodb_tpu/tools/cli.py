@@ -1,0 +1,117 @@
+"""Command-line tools.
+
+TPU-native equivalents of the reference's tool binaries (src/tools/):
+  sql           interactive REPL (reference: src/tools/sql.cpp:100-168)
+  run-sql       batch runner: run-sql file.sql db-dir (run-sql.cpp:15-42)
+  sql-to-plan   dump the optimized logical plan for a query, the analogue of
+                sql-to-mlir's canonical relalg dump (sql-to-mlir.cpp)
+  sqlite-tester sqllogictest conformance runner (sqlite-tester.cpp)
+
+Invoke as `python -m lingodb_tpu.tools.cli <tool> ...` or through the
+console wrappers in tools/ at the repo root.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+def _open_session(db_dir: str | None):
+    import lingodb_tpu as ldb
+
+    if db_dir and db_dir != ":memory:":
+        return ldb.connect_to_db(db_dir)
+    return ldb.create_in_memory()
+
+
+def repl(argv: list[str]) -> int:
+    """Interactive shell; reports per-phase timings like the reference's
+    `sql` tool when `SET sql.report_times = true`."""
+    db_dir = argv[0] if argv else None
+    session = _open_session(db_dir)
+    print("lingodb_tpu SQL shell — end with ; ('exit' to quit)")
+    buf = ""
+    while True:
+        try:
+            line = input("sql> " if not buf else "...> ")
+        except EOFError:
+            break
+        if line.strip().lower() in ("exit", "quit", "\\q"):
+            break
+        buf += ("\n" if buf else "") + line
+        if not buf.rstrip().endswith(";"):
+            continue
+        q, buf = buf, ""
+        t0 = time.time()
+        try:
+            result = session.sql(q)
+        except Exception as e:  # parse/bind/execution errors -> message, keep going
+            print(f"error: {e}")
+            continue
+        if result is not None:
+            print(result.pretty())
+            print(f"({result.num_rows} rows, {1e3 * (time.time() - t0):.1f} ms)")
+    return 0
+
+
+def run_sql(argv: list[str]) -> int:
+    if not argv:
+        print("usage: run-sql <file.sql> [db-dir]", file=sys.stderr)
+        return 2
+    sql = open(argv[0]).read()
+    session = _open_session(argv[1] if len(argv) > 1 else None)
+    result = session.sql(sql)
+    if result is not None:
+        print(result.pretty(max_rows=10_000))
+    return 0
+
+
+def sql_to_plan(argv: list[str]) -> int:
+    if not argv:
+        print("usage: sql-to-plan <file.sql|query> [db-dir]", file=sys.stderr)
+        return 2
+    import os
+
+    q = open(argv[0]).read() if os.path.exists(argv[0]) else argv[0]
+    session = _open_session(argv[1] if len(argv) > 1 else None)
+    result = session.sql("EXPLAIN " + q)
+    for row in result.format_rows():
+        print(row[0])
+    return 0
+
+
+def sqlite_tester(argv: list[str]) -> int:
+    if not argv:
+        print("usage: sqlite-tester <file.test> [db-dir]", file=sys.stderr)
+        return 2
+    from ..tester.runner import run_file
+
+    session = _open_session(argv[1] if len(argv) > 1 else None)
+    t0 = time.time()
+    stats = run_file(session, argv[0], stop_on_error=False)
+    print(f"t: {time.time() - t0:.1f} statements: {stats.statements} "
+          f"queries: {stats.queries} failures: {len(stats.failures)}")
+    for f in stats.failures[:20]:
+        print("FAIL:", f)
+    return 0 if stats.ok else 1
+
+
+TOOLS = {
+    "sql": repl,
+    "run-sql": run_sql,
+    "sql-to-plan": sql_to_plan,
+    "sqlite-tester": sqlite_tester,
+}
+
+
+def main() -> int:
+    if len(sys.argv) < 2 or sys.argv[1] not in TOOLS:
+        print(f"usage: python -m lingodb_tpu.tools.cli <{'|'.join(TOOLS)}> ...",
+              file=sys.stderr)
+        return 2
+    return TOOLS[sys.argv[1]](sys.argv[2:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -301,11 +301,57 @@ def generate(sf: float = 0.01, seed: int = 19920601) -> dict[str, TableStorage]:
     return out
 
 
+def _cache_dir(sf: float, seed: int) -> str:
+    import os
+
+    root = os.environ.get(
+        "LINGODB_TPCH_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".cache"),
+    )
+    return os.path.join(root, f"tpch_sf{sf:g}_seed{seed}")
+
+
+def generate_cached(sf: float, seed: int) -> dict[str, TableStorage]:
+    """generate(), memoized on disk as Arrow IPC (dictionary-encoded strings,
+    scaled-int decimals: loading is pure bulk reads)."""
+    import json
+    import os
+
+    d = _cache_dir(sf, seed)
+    meta_path = os.path.join(d, "schema.json")
+    if os.path.exists(meta_path):
+        meta = json.load(open(meta_path))
+        out = {}
+        for name, sch in meta.items():
+            from ..catalog.catalog import type_from_json
+
+            names = [c[0] for c in sch]
+            types = [type_from_json(c[1]) for c in sch]
+            out[name] = TableStorage.load(name, d, names, types)
+        return out
+    tables = generate(sf, seed)
+    if os.environ.get("LINGODB_TPCH_CACHE", "").upper() != "OFF":
+        try:
+            os.makedirs(d, exist_ok=True)
+            meta = {}
+            for name, t in tables.items():
+                t.save(d)
+                from ..catalog.catalog import type_to_json
+
+                meta[name] = [[n, type_to_json(ty)] for n, ty in
+                              zip(t.column_names, t.column_types)]
+            json.dump(meta, open(meta_path, "w"))
+        except Exception:
+            pass
+    return tables
+
+
 def load_into(session, sf: float = 0.01, seed: int = 19920601):
     """Install generated TPC-H tables into a session's catalog."""
     from ..catalog.catalog import TableEntry
 
-    tables = generate(sf, seed)
+    tables = generate_cached(sf, seed)
     for name, storage in tables.items():
         session.catalog.tables[name] = TableEntry(
             name, storage.column_names, storage.column_types,
