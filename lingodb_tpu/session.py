@@ -177,14 +177,50 @@ class Session:
         return None
 
     def _execute_copy(self, stmt: A.CopyStmt):
+        """COPY table FROM 'file.csv': bulk load through the Arrow C++ CSV
+        reader (native, multithreaded — the same engine the reference's
+        copyFromIntoTable uses, RelationHelper.cpp); Python csv fallback for
+        options Arrow can't express."""
         entry = self.catalog.get_table(stmt.table)
         if entry is None:
             raise BindError(f"unknown table {stmt.table}")
         delim = stmt.options.get("delimiter", ",")
         nullstr = stmt.options.get("null", "")
         escape = stmt.options.get("escape", None) or None
+        try:
+            self._copy_arrow(entry, stmt.path, delim, nullstr, escape)
+        except Exception:
+            self._copy_python(entry, stmt.path, delim, nullstr, escape)
+        self._device_cache.pop(entry.name, None)
+        return None
+
+    def _copy_arrow(self, entry, path, delim, nullstr, escape):
+        import pyarrow as pa
+        import pyarrow.csv as pacsv
+
+        from .storage.table import _from_arrow, arrow_type_for
+
+        read = pacsv.ReadOptions(column_names=entry.column_names)
+        parse = pacsv.ParseOptions(
+            delimiter=delim,
+            escape_char=escape if escape else False,
+        )
+        conv = pacsv.ConvertOptions(
+            null_values=[nullstr],
+            strings_can_be_null=True,
+            quoted_strings_can_be_null=False,
+            column_types={n: arrow_type_for(t) for n, t in
+                          zip(entry.column_names, entry.column_types)},
+        )
+        table = pacsv.read_csv(path, read_options=read, parse_options=parse,
+                               convert_options=conv)
+        cols = [_from_arrow(t, table.column(n))
+                for n, t in zip(entry.column_names, entry.column_types)]
+        entry.storage.append_columns(cols)
+
+    def _copy_python(self, entry, path, delim, nullstr, escape):
         rows = []
-        with open(stmt.path, newline="") as f:
+        with open(path, newline="") as f:
             reader = csvmod.reader(f, delimiter=delim, escapechar=escape)
             for rec in reader:
                 row = []
@@ -195,8 +231,6 @@ class Session:
                         row.append(v)
                 rows.append(row)
         entry.storage.append_rows(rows)
-        self._device_cache.pop(entry.name, None)
-        return None
 
     # ----------------------------------------------------------- device data
     def device_table(self, name: str) -> dict:

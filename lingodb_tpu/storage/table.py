@@ -229,3 +229,28 @@ def _from_arrow(t: Type, chunked) -> Column:
         return Column(t, us.astype(np.int64), valid)
     data = np.asarray(arr)
     return Column(t, np.ascontiguousarray(data, dtype=physical_dtype(t)), valid)
+
+
+def arrow_type_for(t: Type):
+    """Arrow type to parse a column as (used by the CSV COPY loader)."""
+    import pyarrow as pa
+
+    if t.kind == K.DECIMAL:
+        return pa.decimal128(max(t.p, 1), t.s)
+    if t.kind == K.DATE:
+        return pa.date32()
+    if t.kind == K.TIMESTAMP:
+        return pa.timestamp("us")
+    if t.kind == K.BOOL:
+        return pa.bool_()
+    if t.kind == K.INT:
+        return pa.int32()
+    if t.kind == K.BIGINT:
+        return pa.int64()
+    if t.kind == K.SMALLINT:
+        return pa.int16()
+    if t.kind == K.FLOAT:
+        return pa.float32()
+    if t.kind == K.DOUBLE:
+        return pa.float64()
+    return pa.string()

@@ -14,6 +14,9 @@ import numpy as np
 
 
 def _shift_date(base: str, n: int, unit: str, sign: int) -> str:
+    m = re.match(r"^(\d{4})-(\d{1,2})-(\d{1,2})$", base.strip())
+    if m:
+        base = f"{m.group(1)}-{int(m.group(2)):02d}-{int(m.group(3)):02d}"
     d = np.datetime64(base)
     unit = unit.rstrip("s").lower()
     if unit == "day":
@@ -38,11 +41,26 @@ def adapt_for_sqlite(sql: str) -> str:
         return "'" + _shift_date(base, n, unit, 1 if op == "+" else -1) + "'"
 
     sql = re.sub(
-        r"date\s+'(\d{4}-\d{2}-\d{2})'\s*([+-])\s*interval\s+'(\d+)'\s+(\w+)",
+        r"date\s+'(\d{4}-\d{1,2}-\d{1,2})'\s*([+-])\s*interval\s+'(\d+)'\s+(\w+)",
         repl_arith, sql, flags=re.IGNORECASE,
     )
-    # bare typed date literal
-    sql = re.sub(r"date\s+'(\d{4}-\d{2}-\d{2})'", r"'\1'", sql, flags=re.IGNORECASE)
+    # TPC-DS style: (cast('1998-02-22' as date) + interval '30 days')
+    sql = re.sub(
+        r"cast\s*\(\s*'(\d{4}-\d{1,2}-\d{1,2})'\s+as\s+date\s*\)\s*([+-])\s*"
+        r"interval\s+'(\d+)\s*(\w+?)s?'",
+        repl_arith, sql, flags=re.IGNORECASE,
+    )
+    def _pad(m):
+        return f"'{int(m.group(1)):04d}-{int(m.group(2)):02d}-{int(m.group(3)):02d}'"
+
+    # bare cast('X' as date) comparisons work as strings in sqlite
+    sql = re.sub(
+        r"cast\s*\(\s*'(\d{4})-(\d{1,2})-(\d{1,2})'\s+as\s+date\s*\)",
+        _pad, sql, flags=re.IGNORECASE,
+    )
+
+    # bare typed date literal (zero-padded for sqlite string comparison)
+    sql = re.sub(r"date\s+'(\d{4})-(\d{1,2})-(\d{1,2})'", _pad, sql, flags=re.IGNORECASE)
     # extract(year from X)
     sql = re.sub(
         r"extract\s*\(\s*year\s+from\s+([^)]+)\)",

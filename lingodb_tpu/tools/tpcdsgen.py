@@ -49,9 +49,14 @@ CLASSES = {
                "optics", "outdoor", "pools", "sailing", "tennis"],
     "Women": ["dresses", "fragrances", "maternity", "swimwear"],
 }
-STATES = ["AL", "AR", "CA", "CO", "FL", "GA", "IA", "IL", "IN", "KS", "KY",
-          "LA", "MI", "MN", "MO", "MS", "NC", "ND", "NE", "NM", "NY", "OH",
-          "OK", "OR", "PA", "SC", "SD", "TN", "TX", "UT", "VA", "WA", "WI"]
+STATES = ["AK", "AL", "AR", "AZ", "CA", "CO", "CT", "DE", "FL", "GA", "HI",
+          "IA", "ID", "IL", "IN", "KS", "KY", "LA", "MA", "MD", "ME", "MI",
+          "MN", "MO", "MS", "MT", "NC", "ND", "NE", "NH", "NJ", "NM", "NV",
+          "NY", "OH", "OK", "OR", "PA", "RI", "SC", "SD", "TN", "TX", "UT",
+          "VA", "VT", "WA", "WI", "WV", "WY"]
+# stores cluster in a few states like dsdgen; cover the states queries name
+STORE_STATES = ["TN", "TN", "TN", "SD", "SD", "AL", "GA", "CA", "WA", "NC",
+                "MN", "FL", "IN", "MI", "OH", "TX"]
 COUNTIES = ["Ziebach County", "Walker County", "Williamson County",
             "Bronx County", "Orange County", "Barrow County",
             "Fairfield County", "Franklin Parish", "Luce County",
@@ -363,7 +368,7 @@ class _Gen:
             return sk, cols
 
         sk = np.arange(1, n_store + 1)
-        st = rng.choice(STATES[:9], n_store)
+        st = np.array(STORE_STATES * (n_store // len(STORE_STATES) + 1), object)[:n_store]
         self.tables["store"] = {
             "s_store_sk": _int(sk),
             "s_store_id": _str(_ids("AAAAAAAA", 1 + (sk - 1) // 2), Type.char(16, True)),
@@ -409,7 +414,7 @@ class _Gen:
             "w_suite_number": _str(np.array([f"Suite {k}" for k in sk], object), Type.char(10, True)),
             "w_city": _str(rng.choice(CITIES[:6], n_wh)),
             "w_county": _str(rng.choice(COUNTIES[:5], n_wh)),
-            "w_state": _str(rng.choice(STATES[:9], n_wh), Type.char(2, True)),
+            "w_state": _str(rng.choice(STORE_STATES, n_wh), Type.char(2, True)),
             "w_zip": _str(np.array([f"{z:05d}" for z in rng.integers(10000, 99999, n_wh)], object), Type.char(10, True)),
             "w_country": _str(np.full(n_wh, "United States", object)),
             "w_gmt_offset": _dec(rng.choice([-500, -600], n_wh), 5, 2),
@@ -457,7 +462,7 @@ class _Gen:
             "web_suite_number": _str(np.array([f"Suite {k}" for k in sk], object), Type.char(10, True)),
             "web_city": _str(rng.choice(CITIES[:6], n_web)),
             "web_county": _str(rng.choice(COUNTIES[:5], n_web)),
-            "web_state": _str(rng.choice(STATES[:9], n_web), Type.char(2, True)),
+            "web_state": _str(rng.choice(STORE_STATES, n_web), Type.char(2, True)),
             "web_zip": _str(np.array([f"{z:05d}" for z in rng.integers(10000, 99999, n_web)], object), Type.char(10, True)),
             "web_country": _str(np.full(n_web, "United States", object)),
             "web_gmt_offset": _dec(rng.choice([-500, -600], n_web), 5, 2),
@@ -493,7 +498,7 @@ class _Gen:
             "cc_suite_number": _str(np.array([f"Suite {k}" for k in sk], object), Type.char(10, True)),
             "cc_city": _str(rng.choice(CITIES[:6], n_cc), Type.string(True)),
             "cc_county": _str(rng.choice(COUNTIES[:5], n_cc), Type.string(True)),
-            "cc_state": _str(rng.choice(STATES[:9], n_cc), Type.char(2, True)),
+            "cc_state": _str(rng.choice(STORE_STATES, n_cc), Type.char(2, True)),
             "cc_zip": _str(np.array([f"{z:05d}" for z in rng.integers(10000, 99999, n_cc)], object), Type.char(10, True)),
             "cc_country": _str(np.full(n_cc, "United States", object), Type.string(True)),
             "cc_gmt_offset": _dec(rng.choice([-500, -600], n_cc), 5, 2),
