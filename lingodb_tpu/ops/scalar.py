@@ -387,11 +387,42 @@ def eval_call(e: Call, env: dict[int, SCol]) -> SCol:
         a = args[0]
         out = dates.extract(part, a.data, a.type.kind == K.TIMESTAMP)
         return SCol(e.type, out.astype(jnp.int64), a.valid)
+    if op.startswith("datediff_"):
+        unit = op[len("datediff_"):]
+        a, b = args[0], args[1]
+        valid = _and_valid(a, b)
+
+        def us_of(c):
+            return c.data.astype(jnp.int64) * US_PER_DAY if c.type.kind == K.DATE else c.data.astype(jnp.int64)
+
+        diff = us_of(b) - us_of(a)
+        per = {"second": 1_000_000, "minute": 60_000_000, "hour": 3_600_000_000,
+               "day": US_PER_DAY, "week": US_PER_DAY * 7}
+        if unit in per:
+            out = diff // per[unit]
+        elif unit in ("month", "year", "quarter"):
+            am = dates.extract("year", us_of(a) // US_PER_DAY, False) * 12 + dates.extract("month", us_of(a) // US_PER_DAY, False)
+            bm = dates.extract("year", us_of(b) // US_PER_DAY, False) * 12 + dates.extract("month", us_of(b) // US_PER_DAY, False)
+            m = bm - am
+            out = m // 12 if unit == "year" else (m // 3 if unit == "quarter" else m)
+        else:
+            raise EvalError(f"datediff unit {unit}")
+        return SCol(e.type, out.astype(jnp.int64), valid)
     if op == "date_trunc":
         part_c, a = args[0], args[1]
         part = str(part_c.dictionary[0]) if part_c.dictionary is not None else "day"
         out = dates.date_trunc(part.lower(), a.data, a.type.kind == K.TIMESTAMP)
         return SCol(e.type, out.astype(a.data.dtype), a.valid)
+    if op == "regexp_replace":
+        import re as _re
+
+        a, p, r = args[0], args[1], args[2]
+        if not (_is_const_string(p) and _is_const_string(r)):
+            raise EvalError("regexp_replace requires constant pattern")
+        rx = _re.compile(str(p.dictionary[0]))
+        rep = str(r.dictionary[0]).replace("\\0", "\\g<0>")
+        new_dict, remap = strings.map_dictionary(a.dictionary, lambda s: rx.sub(rep, s))
+        return SCol(e.type, jnp.asarray(remap)[a.data], a.valid, new_dict)
     if op in ("upper", "lower", "ltrim", "rtrim", "trim", "reverse"):
         return _eval_string_map(op, args[0], e.type)
     if op == "length":

@@ -37,6 +37,12 @@ def like_to_regex(pattern: str) -> re.Pattern:
 
 
 def like_lut(dictionary: np.ndarray, pattern: str, case_insensitive=False) -> np.ndarray:
+    if len(dictionary) >= 2048:
+        from .. import native
+
+        m = native.like_match(dictionary, pattern, "\\", case_insensitive)
+        if m is not None:
+            return m
     rx = like_to_regex(pattern.lower() if case_insensitive else pattern)
     if case_insensitive:
         return np.array([rx.fullmatch(s.lower()) is not None for s in dictionary], dtype=np.bool_)

@@ -15,6 +15,7 @@ from ..plan.exprs import BExpr
 
 
 def optimize(plan: L.LogicalOp, catalog) -> L.LogicalOp:
+    plan = decorrelate_lateral(plan)
     plan = pushdown(plan)
     plan = fold_scan_restrictions(plan)
     from .joinorder import reorder_joins
@@ -136,3 +137,90 @@ def _is_simple(p: BExpr) -> bool:
         if isinstance(node, CaseExpr):
             return False
     return True
+
+
+# ------------------------------------------------- lateral decorrelation
+def _node_exprs(op) -> list:
+    """Expressions evaluated directly by a plan node."""
+    out = []
+    if isinstance(op, L.Select):
+        out.append(op.predicate)
+    elif isinstance(op, L.Map):
+        out.extend(e for _c, e in op.computed)
+    elif isinstance(op, L.Join) and op.predicate is not None:
+        out.append(op.predicate)
+    elif isinstance(op, L.Scan):
+        out.extend(op.restrictions)
+    return out
+
+
+def _free_cids(op, produced: set[int] | None = None) -> set[int]:
+    """cids referenced somewhere in the subtree but not produced inside it."""
+    refs: set[int] = set()
+    local: set[int] = set()
+
+    def walk(n):
+        for e in _node_exprs(n):
+            refs.update(E.used_cols(e))
+        local.update(c.cid for c in n.output_cols())
+        if isinstance(n, L.Map):
+            local.update(c.cid for c, _e in n.computed)
+        if isinstance(n, L.Aggregate):
+            local.update(a.out.cid for a in n.aggs)
+        for c in n.children():
+            walk(c)
+
+    walk(op)
+    return refs - local
+
+
+def _hoist_correlated(op, lateral: set[int]):
+    """Remove Select conjuncts referencing `lateral` cids from the spine of
+    `op` (through Select/Map, and through the outer-preserving side of
+    joins). Returns (new_op, hoisted_conjuncts, ok)."""
+    if isinstance(op, L.Select):
+        child, hoisted, ok = _hoist_correlated(op.child, lateral)
+        if not ok:
+            return op, [], False
+        stay, lift = [], []
+        for c in E.conjuncts(op.predicate):
+            (lift if E.used_cols(c) & lateral else stay).append(c)
+        out = L.Select(child, E.make_and(stay)) if stay else child
+        return out, hoisted + lift, True
+    if isinstance(op, L.Map):
+        child, hoisted, ok = _hoist_correlated(op.child, lateral)
+        if not ok:
+            return op, [], False
+        return L.Map(child, op.computed), hoisted, True
+    if isinstance(op, L.Join) and op.kind in ("inner", "cross", "left"):
+        l, hl, okl = _hoist_correlated(op.left, lateral)
+        if not okl:
+            return op, [], False
+        if op.kind in ("inner", "cross"):
+            r, hr, okr = _hoist_correlated(op.right, lateral)
+            if not okr:
+                return op, [], False
+            return L.Join(op.kind, l, r, op.predicate), hl + hr, True
+        return L.Join(op.kind, l, op.right, op.predicate), hl, True
+    # any other node: sound only if nothing below references lateral cids
+    if _free_cids(op) & lateral:
+        return op, [], False
+    return op, [], True
+
+
+def decorrelate_lateral(op: L.LogicalOp) -> L.LogicalOp:
+    """Rewrite comma-FROM lateral references (a derived table referencing an
+    earlier FROM item) into plain join predicates where the correlated
+    conjuncts sit in hoistable Select positions (reference: general dependent
+    joins are handled by relalg Unnesting, Transforms/Unnesting.cpp; this
+    covers the SQL-level lateral pattern the tpcxbb suite uses)."""
+    op = op.replace_children([decorrelate_lateral(c) for c in op.children()])
+    if isinstance(op, L.Join) and op.kind in ("cross", "inner"):
+        lcids = {c.cid for c in op.left.output_cols()}
+        lateral = _free_cids(op.right) & lcids
+        if lateral:
+            right, hoisted, ok = _hoist_correlated(op.right, lateral)
+            if ok and hoisted and not (_free_cids(right) & lcids):
+                parts = ([op.predicate] if op.predicate is not None else []) + hoisted
+                return L.Join("inner", op.left, right, E.make_and(parts))
+    return op

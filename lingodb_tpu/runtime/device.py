@@ -112,22 +112,20 @@ def vtable_on_accel(vt: VTable) -> bool:
 
 # ----------------------------------------------------------- packed transfer
 @jax.jit
-def _pack_to_i64(arrays: dict):
-    """Widen/bitcast every 1-D array to int64 lanes -> one (k, n) matrix."""
-    lanes = []
+def _pack_lanes(arrays: dict):
+    """Pack 1-D arrays into at most two matrices: int64 lanes for integer/bool
+    arrays, float64 lanes for floats. No 64-bit bitcasts — the TPU AOT
+    X64-rewriting pass does not implement f64<->s64 bitcast_convert."""
+    ilanes, flanes = [], []
     for key in sorted(arrays.keys()):
         a = arrays[key]
-        if a.dtype == jnp.float64:
-            lanes.append(jax.lax.bitcast_convert_type(a, jnp.int64))
-        elif a.dtype == jnp.float32:
-            lanes.append(
-                jax.lax.bitcast_convert_type(a, jnp.int32).astype(jnp.int64)
-            )
-        elif a.dtype == jnp.bool_:
-            lanes.append(a.astype(jnp.int64))
+        if a.dtype in (jnp.float64, jnp.float32):
+            flanes.append(a.astype(jnp.float64))
         else:
-            lanes.append(a.astype(jnp.int64))
-    return jnp.stack(lanes)
+            ilanes.append(a.astype(jnp.int64))
+    iout = jnp.stack(ilanes) if ilanes else jnp.zeros((0, 0), jnp.int64)
+    fout = jnp.stack(flanes) if flanes else jnp.zeros((0, 0), jnp.float64)
+    return iout, fout
 
 
 def fetch_arrays_np(arrays: dict) -> dict:
@@ -140,20 +138,19 @@ def fetch_arrays_np(arrays: dict) -> dict:
     if not any_jax(arrays):
         return {k: np.asarray(a) for k, a in arrays.items()}
     dtypes = {k: np.dtype(a.dtype) for k, a in arrays.items()}
-    packed = _pack_to_i64({k: a for k, a in arrays.items()})
-    host = np.asarray(jax.device_get(packed))
+    packed_i, packed_f = _pack_lanes({k: a for k, a in arrays.items()})
+    host_i, host_f = jax.device_get((packed_i, packed_f))
+    host_i, host_f = np.asarray(host_i), np.asarray(host_f)
     out = {}
-    for i, key in enumerate(sorted(arrays.keys())):
-        lane = host[i]
+    ii = fi = 0
+    for key in sorted(arrays.keys()):
         dt = dtypes[key]
-        if dt == np.float64:
-            out[key] = lane.view(np.float64)
-        elif dt == np.float32:
-            out[key] = lane.astype(np.int32).view(np.float32)
-        elif dt == np.bool_:
-            out[key] = lane.astype(np.bool_)
+        if dt in (np.dtype(np.float64), np.dtype(np.float32)):
+            out[key] = host_f[fi].astype(dt)
+            fi += 1
         else:
-            out[key] = lane.astype(dt)
+            out[key] = host_i[ii].astype(dt)
+            ii += 1
     return out
 
 

@@ -43,11 +43,45 @@ class ResultTable:
         return out
 
     def format_rows(self) -> list[list[str]]:
-        """Rows formatted like the reference tester normalizes them."""
+        """Rows formatted like the reference tester normalizes them. Large
+        results batch-format decimal/date/timestamp/int columns through the
+        native kernels (native/runtime.cpp)."""
+        if self.num_rows >= 4096:
+            cols = [self._format_column(i) for i in range(len(self.types))]
+            if all(c is not None for c in cols):
+                return [list(row) for row in zip(*cols)]
         return [
             [format_value(v, t) for v, t in zip(row, self.types)]
             for row in self.to_pylist()
         ]
+
+    def _format_column(self, i: int) -> list | None:
+        """Whole-column normalized strings via native kernels; None if the
+        type needs the per-value Python path."""
+        from ..runtime.vtable import dec_is_float
+        from .. import native
+
+        t, data, valid, d = (self.types[i], self.columns[i], self.valids[i],
+                             self.dictionaries[i])
+        out = None
+        if d is not None:
+            vals = d[np.asarray(data)]
+            out = [str(v) for v in vals]
+        elif t.kind == K.DECIMAL and not dec_is_float(t):
+            out = native.format_decimal(np.asarray(data), valid, t.s)
+        elif t.kind == K.DATE:
+            out = native.format_date32(np.asarray(data), valid)
+        elif t.kind == K.TIMESTAMP:
+            out = native.format_ts_us(np.asarray(data), valid)
+        elif t.kind in (K.INT, K.BIGINT):
+            out = native.format_int64(np.asarray(data, np.int64), valid)
+        elif t.kind == K.BOOL:
+            out = np.where(np.asarray(data), "t", "f").tolist()
+        if out is None:
+            return None
+        if valid is not None:
+            out = ["NULL" if not ok else v for v, ok in zip(out, valid)]
+        return out
 
     def to_arrow(self):
         """Export as a pyarrow.Table (reference: Python bindings return query

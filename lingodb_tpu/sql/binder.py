@@ -376,11 +376,14 @@ class Binder:
             lref, rref = ref.right, ref.left
         else:
             lref, rref = ref.left, ref.right
-        # inner scopes: each side resolves only its own names while binding
-        lscope = Scope(scope.parent)
+        # inner scopes: each side resolves its own names first; the parent
+        # chain keeps earlier FROM items visible so derived tables may
+        # reference them laterally (tpcxbb q16 style; decorrelated by the
+        # optimizer's lateral pass)
+        lscope = Scope(scope)
         lscope.ctes = scope.ctes
         lplan = self.bind_table_ref(lref, lscope)
-        rscope = Scope(scope.parent)
+        rscope = Scope(scope)
         rscope.ctes = scope.ctes
         rplan = self.bind_table_ref(rref, rscope)
 
@@ -1661,8 +1664,16 @@ class Binder:
         if n == "date_trunc":
             part = args[0]
             return Call("date_trunc", args, args[1].type)
+        if n == "datediff":
+            part = args[0]
+            if not isinstance(part, Const):
+                raise BindError("datediff requires constant unit")
+            return Call(f"datediff_{str(part.value).lower()}", args[1:],
+                        Type.bigint(nullable))
         if n == "hash":
             return Call("hash", args, Type.bigint(False))
+        if n == "regexp_replace":
+            return Call("regexp_replace", args, args[0].type)
         if n in ("starts_with", "startswith"):
             return Call("startswith", args, Type.bool_(nullable))
         if n in ("ends_with", "endswith"):

@@ -212,9 +212,21 @@ def _from_arrow(t: Type, chunked) -> Column:
                 dct = dct[order]
                 codes = remap[codes]
             return Column(t, codes, valid, dct)
-        pyvals = arr.to_pylist()
-        dictionary, codes = encode_strings(["" if v is None else v for v in pyvals])
-        return Column(t, codes, valid, dictionary)
+        # plain string column (foreign file): dictionary-encode in Arrow C++
+        # (no per-value Python), then sort the dictionary for our order-
+        # preserving code invariant
+        import pyarrow.compute as pc
+
+        if arr.null_count:
+            arr = arr.fill_null("")
+        enc = pc.dictionary_encode(arr)
+        dct = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        codes = np.asarray(enc.indices).astype(np.int32)
+        order = np.argsort(dct)
+        remap = np.empty(len(dct), np.int32)
+        remap[order] = np.arange(len(dct), dtype=np.int32)
+        return Column(t, remap[codes] if len(dct) else codes, valid,
+                      dct[order])
     if t.kind == K.DECIMAL:
         if pa.types.is_integer(arr.type):  # our scaled-int64 persistence form
             data = np.asarray(arr.fill_null(0) if arr.null_count else arr)

@@ -98,9 +98,70 @@ def adapt_for_sqlite(sql: str) -> str:
     return sql
 
 
+def _patch_order_by_nulls(sql: str) -> str:
+    """Append explicit NULLS LAST/FIRST to the final top-level ORDER BY so
+    sqlite matches the SQL default (ASC->NULLS LAST, DESC->NULLS FIRST;
+    sqlite's native default is the opposite)."""
+    low = sql.lower()
+    # find last top-level 'order by' (not inside parens e.g. window specs)
+    depth = 0
+    pos = -1
+    i = 0
+    while i < len(low):
+        c = low[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "'":
+            j = i + 1
+            while j < len(low) and low[j] != "'":
+                j += 1
+            i = j
+        elif depth == 0 and low.startswith("order", i) and re.match(r"order\s+by", low[i:]):
+            pos = i
+        i += 1
+    if pos < 0:
+        return sql
+    m = re.match(r"order\s+by", low[pos:])
+    start = pos + m.end()
+    # find end of the order-by item list (top-level LIMIT/OFFSET or end)
+    tail = re.search(r"\b(limit|offset)\b", low[start:])
+    end = start + tail.start() if tail else len(sql)
+    items_sql = sql[start:end]
+    # split top-level commas
+    items, depth, cur = [], 0, []
+    for ch in items_sql:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    items.append("".join(cur))
+    fixed = []
+    for it in items:
+        s = it.strip().rstrip(";").strip()
+        if not s or re.search(r"\bnulls\s+(first|last)\b", s, re.IGNORECASE):
+            fixed.append(it)
+            continue
+        if re.search(r"\bdesc\b\s*$", s, re.IGNORECASE):
+            fixed.append(" " + s + " NULLS FIRST")
+        else:
+            fixed.append(" " + s + " NULLS LAST")
+    trailer = ";" if items_sql.rstrip().endswith(";") else ""
+    return sql[:start] + ",".join(fixed) + trailer + " " + sql[end:]
+
+
 def run_sqlite(conn, sql: str) -> list[tuple]:
     cur = conn.cursor()
-    cur.execute(adapt_for_sqlite(sql))
+    # sqlite's LIKE is case-insensitive by default; SQL (and our engine and
+    # the reference) are case-sensitive
+    cur.execute("PRAGMA case_sensitive_like=ON")
+    cur.execute(_patch_order_by_nulls(adapt_for_sqlite(sql)))
     return cur.fetchall()
 
 
