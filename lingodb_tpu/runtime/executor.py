@@ -43,6 +43,8 @@ class _NotDense(Exception):
 class Executor:
     """Executes logical plans against a session's storage."""
 
+    track_tuples: dict | None = None
+
     def __init__(self, session):
         self.session = session
 
@@ -74,6 +76,10 @@ class Executor:
         if method is None:
             raise ExecError(f"no executor for {type(op).__name__}")
         vt = method(op)
+        if self.track_tuples is not None:
+            # per-operator output cardinalities (reference: relalg.track_tuples
+            # / subop.set_tracked_count, RelAlgOps.td:530, ExecutionContext.h:63)
+            self.track_tuples[id(op)] = vt.num_rows
         # small results migrate to the local CPU backend (runtime/device.py)
         if type(op).__name__ in ("Aggregate", "Select", "Join", "TopK", "Limit",
                                  "Distinct", "SetOp"):

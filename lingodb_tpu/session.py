@@ -87,6 +87,33 @@ class Session:
             else:
                 lines = []
             plan = optimize(plan, self.catalog)
+            if stmt.analyze:
+                import time as _time
+
+                counts: dict = {}
+                self.executor.track_tuples = counts
+                t0 = _time.time()
+                try:
+                    self.executor.execute(plan)
+                finally:
+                    self.executor.track_tuples = None
+                dt = _time.time() - t0
+
+                def annotate(op, indent=0):
+                    rows = counts.get(id(op))
+                    suffix = f"  [rows={rows}]" if rows is not None else ""
+                    ls = ["  " * indent + op._describe() + suffix]
+                    for c in op.children():
+                        ls.extend(annotate(c, indent + 1))
+                    return ls
+
+                lines += annotate(plan)
+                lines.append(f"-- execution: {dt * 1e3:.1f} ms")
+                from .storage.column import encode_strings
+
+                dct, codes = encode_strings(lines)
+                return ResultTable(["plan"], [Type.string()], [codes], [None],
+                                   [dct], len(lines))
             lines += plan.pretty().splitlines()
             from .storage.column import encode_strings
 

@@ -236,6 +236,7 @@ class ExplainStmt:
 
     query: "SelectStmt"
     verbose: bool = False
+    analyze: bool = False
 
 
 @dataclass

@@ -30,7 +30,7 @@ KEYWORDS = {
     "minute", "second", "time",
     # misc
     "primary", "key", "foreign", "references", "unique", "default", "check",
-    "explain", "verbose",
+    "explain", "verbose", "analyze",
     "constraint", "if", "replace", "into", "returning",
 }
 

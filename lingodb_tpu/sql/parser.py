@@ -111,7 +111,8 @@ class Parser:
             if t.value == "explain":
                 self.next()
                 verbose = bool(self.accept_kw("verbose"))
-                return A.ExplainStmt(self.parse_statement(), verbose)
+                analyze = bool(self.accept_kw("analyze"))
+                return A.ExplainStmt(self.parse_statement(), verbose, analyze)
         if t.kind == "op" and t.value == "(":
             return self.parse_select()
         raise ParseError(f"unsupported statement start {t.value!r} at {t.pos}")

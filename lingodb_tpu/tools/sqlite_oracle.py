@@ -156,7 +156,41 @@ def _patch_order_by_nulls(sql: str) -> str:
     return sql[:start] + ",".join(fixed) + trailer + " " + sql[end:]
 
 
+class _StdDev:
+    """stddev_samp for sqlite (not built in)."""
+
+    def __init__(self):
+        self.vals = []
+
+    def step(self, v):
+        if v is not None:
+            self.vals.append(float(v))
+
+    def finalize(self):
+        n = len(self.vals)
+        if n < 2:
+            return None
+        m = sum(self.vals) / n
+        return (sum((x - m) ** 2 for x in self.vals) / (n - 1)) ** 0.5
+
+
+class _VarSamp(_StdDev):
+    def finalize(self):
+        n = len(self.vals)
+        if n < 2:
+            return None
+        m = sum(self.vals) / n
+        return sum((x - m) ** 2 for x in self.vals) / (n - 1)
+
+
 def run_sqlite(conn, sql: str) -> list[tuple]:
+    try:
+        conn.create_aggregate("stddev_samp", 1, _StdDev)
+        conn.create_aggregate("stddev", 1, _StdDev)
+        conn.create_aggregate("var_samp", 1, _VarSamp)
+        conn.create_aggregate("variance", 1, _VarSamp)
+    except Exception:
+        pass
     cur = conn.cursor()
     # sqlite's LIKE is case-insensitive by default; SQL (and our engine and
     # the reference) are case-sensitive
