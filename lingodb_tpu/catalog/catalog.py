@@ -146,3 +146,38 @@ class Catalog:
             entry.stats = t.get("stats", [])
             entry.stats_version = storage.version
             self.tables[t["name"]] = entry
+
+
+def arrow_schema_types(schema):
+    """Map a pyarrow schema to (names, engine Types) (used by
+    Session.add_table; reference: create_create_table_stmt in the pip pkg)."""
+    import pyarrow as pa
+
+    from ..sql.types import Type
+
+    names, types = [], []
+    for f in schema:
+        t = f.type
+        if pa.types.is_dictionary(t):
+            t = t.value_type
+        if pa.types.is_boolean(t):
+            ours = Type.bool_(True)
+        elif pa.types.is_int8(t) or pa.types.is_int16(t) or pa.types.is_int32(t):
+            ours = Type.int_(True)
+        elif pa.types.is_integer(t):
+            ours = Type.bigint(True)
+        elif pa.types.is_float32(t):
+            ours = Type.float_(True)
+        elif pa.types.is_floating(t):
+            ours = Type.double(True)
+        elif pa.types.is_decimal(t):
+            ours = Type.decimal(t.precision, t.scale, True)
+        elif pa.types.is_date(t):
+            ours = Type.date(True)
+        elif pa.types.is_timestamp(t):
+            ours = Type.timestamp(True)
+        else:
+            ours = Type.string(True)
+        names.append(f.name)
+        types.append(ours)
+    return names, types

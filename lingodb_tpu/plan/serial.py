@@ -53,3 +53,80 @@ def plan_key(op: L.LogicalOp) -> str:
         parts.append(repr(op.cids))
     children = ";".join(plan_key(c) for c in op.children())
     return "(" + " ".join(parts) + (("|" + children) if children else "") + ")"
+
+
+# -------------------------------------------------- JSON plan serialization
+# The analogue of the reference's plan import/export surface (run-mlir reads
+# serialized IR, tools/ct/mlir-relalg-to-json.cpp exports relalg as JSON for
+# the web tooling). Reflective over the plan/expr dataclasses.
+
+import dataclasses
+import json as _json
+
+from ..sql.types import IntervalUnit, Type
+from . import exprs as E
+
+
+def _enc(v):
+    if isinstance(v, Type):
+        from ..catalog.catalog import type_to_json
+
+        return {"$type": type_to_json(v)}
+    if isinstance(v, IntervalUnit):
+        return {"$unit": v.value}
+    if dataclasses.is_dataclass(v) and not isinstance(v, type):
+        d = {"$cls": type(v).__name__}
+        for f in dataclasses.fields(v):
+            d[f.name] = _enc(getattr(v, f.name))
+        return d
+    if isinstance(v, tuple):
+        return {"$tuple": [_enc(i) for i in v]}
+    if isinstance(v, list):
+        return [_enc(i) for i in v]
+    if hasattr(v, "item") and not isinstance(v, (bool, int, float, str)):
+        return v.item()  # numpy scalar
+    return v
+
+
+def _registry():
+    reg = {}
+    for mod in (L, E):
+        for name in dir(mod):
+            obj = getattr(mod, name)
+            if isinstance(obj, type) and dataclasses.is_dataclass(obj):
+                reg[name] = obj
+    return reg
+
+
+_REG = None
+
+
+def _dec(v):
+    global _REG
+    if isinstance(v, dict):
+        if "$type" in v:
+            from ..catalog.catalog import type_from_json
+
+            return type_from_json(v["$type"])
+        if "$unit" in v:
+            return IntervalUnit(v["$unit"])
+        if "$tuple" in v:
+            return tuple(_dec(i) for i in v["$tuple"])
+        if "$cls" in v:
+            if _REG is None:
+                _REG = _registry()
+            cls = _REG[v["$cls"]]
+            kwargs = {k: _dec(x) for k, x in v.items() if k != "$cls"}
+            return cls(**kwargs)
+        return {k: _dec(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_dec(i) for i in v]
+    return v
+
+
+def plan_to_json(op: L.LogicalOp) -> str:
+    return _json.dumps(_enc(op))
+
+
+def plan_from_json(s: str) -> L.LogicalOp:
+    return _dec(_json.loads(s))

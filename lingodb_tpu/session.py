@@ -58,6 +58,44 @@ class Session:
         plan = optimize(plan, self.catalog)
         return plan.pretty()
 
+    def append_table(self, name: str, table) -> None:
+        """Append a pyarrow.Table to an existing table (reference pip API:
+        Connection.append_table, tools/python/lingodb/__init__.py:59)."""
+        from .storage.table import _from_arrow
+
+        entry = self.catalog.get_table(name)
+        if entry is None:
+            raise BindError(f"unknown table {name}")
+        cols = [_from_arrow(t, table.column(n))
+                for n, t in zip(entry.column_names, entry.column_types)]
+        entry.storage.append_columns(cols)
+        self._device_cache.pop(name, None)
+
+    def add_table(self, name: str, table) -> None:
+        """Create + populate a table from a pyarrow.Table (reference pip API:
+        Connection.add_table, tools/python/lingodb/__init__.py:62)."""
+        from .catalog.catalog import arrow_schema_types
+
+        names, types = arrow_schema_types(table.schema)
+        self.catalog.create_table(name, names, types, [])
+        self.append_table(name, table)
+
+    def plan_json(self, query: str) -> str:
+        """Optimized plan as JSON (reference: relalg-to-json exporters used
+        by the ct web tooling, tools/ct/mlir-relalg-to-json.cpp)."""
+        from .plan.serial import plan_to_json
+
+        stmts = parse_sql(query)
+        plan = optimize(Binder(self.catalog).bind_query(stmts[-1]), self.catalog)
+        return plan_to_json(plan)
+
+    def run_plan(self, serialized: str):
+        """Execute a serialized plan (the compiler-level entry point — the
+        analogue of run-mlir executing pre-built IR, src/tools/run-mlir.cpp)."""
+        from .plan.serial import plan_from_json
+
+        return self.executor.execute(plan_from_json(serialized))
+
     def close(self):
         self.catalog.save()
 

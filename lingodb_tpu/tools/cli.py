@@ -97,10 +97,35 @@ def sqlite_tester(argv: list[str]) -> int:
     return 0 if stats.ok else 1
 
 
+def sql_to_json(argv: list[str]) -> int:
+    if not argv:
+        print("usage: sql-to-json <file.sql|query> [db-dir]", file=sys.stderr)
+        return 2
+    import os
+
+    q = open(argv[0]).read() if os.path.exists(argv[0]) else argv[0]
+    session = _open_session(argv[1] if len(argv) > 1 else None)
+    print(session.plan_json(q))
+    return 0
+
+
+def run_plan(argv: list[str]) -> int:
+    if not argv:
+        print("usage: run-plan <plan.json> [db-dir]", file=sys.stderr)
+        return 2
+    session = _open_session(argv[1] if len(argv) > 1 else None)
+    result = session.run_plan(open(argv[0]).read())
+    if result is not None:
+        print(result.pretty(max_rows=10_000))
+    return 0
+
+
 TOOLS = {
     "sql": repl,
     "run-sql": run_sql,
     "sql-to-plan": sql_to_plan,
+    "sql-to-json": sql_to_json,
+    "run-plan": run_plan,
     "sqlite-tester": sqlite_tester,
 }
 
