@@ -54,9 +54,12 @@ def sort_permutation(key_cols: list[tuple[SCol, bool, bool | None]], n: int) -> 
         if nf is None:
             nf = not asc
         f = null_flag(c, nf)
+        img = order_image(c)
         if f is not None:
             operands.append(f)
-        img = order_image(c)
+            # NULL rows carry arbitrary underlying values: zero their image
+            # so they don't break ties ahead of later sort keys
+            img = jnp.where(c.valid, img, jnp.zeros((), img.dtype))
         if not asc:
             img = descending(img)
         operands.append(img)

@@ -199,13 +199,18 @@ def _compute_fn(f: L.WindowFn, op: L.Window, vt: VTable, perm, seg, num_parts,
             return SCol(t, s if fn == "count" else cnt if False else s, None)
         if fn == "sum":
             return SCol(t, s, cnt > 0)
-        # avg
-        if t.kind == K.DECIMAL and dec_is_float(t):
-            num = s.astype(jnp.float64)
-            if arg.type.kind == K.DECIMAL and not dec_is_float(arg.type):
-                num = num / (10.0**arg.type.s)
-            return SCol(t, num / jnp.maximum(cnt, 1), cnt > 0)
-        return SCol(t, s.astype(jnp.float64) / jnp.maximum(cnt, 1), cnt > 0)
+        # avg: `s` is at the argument's representation (scaled int for exact
+        # decimals); produce the output type's representation
+        arg_scale = (arg.type.s
+                     if arg.type.kind == K.DECIMAL and not dec_is_float(arg.type)
+                     else 0)
+        if t.kind == K.DECIMAL and not dec_is_float(t):
+            num = s.astype(jnp.int64) * (10 ** max(t.s - arg_scale, 0))
+            den = jnp.maximum(cnt, 1) * (10 ** max(arg_scale - t.s, 0))
+            q = jnp.sign(num) * ((jnp.abs(num) + den // 2) // den)
+            return SCol(t, q.astype(jnp.int64), cnt > 0)
+        num = s.astype(jnp.float64) / (10.0**arg_scale)
+        return SCol(t, num / jnp.maximum(cnt, 1), cnt > 0)
     if fn in ("min", "max"):
         big = _neutral(vals.dtype, fn == "min")
         x = vals if valid_rows is None else jnp.where(valid_rows, vals, big)

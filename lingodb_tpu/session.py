@@ -316,9 +316,23 @@ class Session:
 class _LazyDeviceTable:
     """dict-like device view of a table; columns upload on first access."""
 
+    _ALL: list = []  # registry for cross-table eviction under memory pressure
+
     def __init__(self, storage):
         self._storage = storage
         self._cols: dict[str, SCol] = {}
+        _LazyDeviceTable._ALL.append(self)
+
+    def _evict_others(self) -> bool:
+        freed = False
+        for t in _LazyDeviceTable._ALL:
+            if t is not self and t._cols:
+                t._cols.clear()
+                freed = True
+        import gc
+
+        gc.collect()
+        return freed
 
     def __getitem__(self, key):
         import jax
@@ -363,11 +377,24 @@ class _LazyDeviceTable:
                              col.valid, col.dictionary)
                 else:
                     _cpu, accel = dv.devices()
-                    c = SCol(
-                        col.type, jax.device_put(col.data, accel),
-                        None if col.valid is None else jax.device_put(col.valid, accel),
-                        col.dictionary,
-                    )
+                    try:
+                        c = SCol(
+                            col.type, jax.device_put(col.data, accel),
+                            None if col.valid is None else jax.device_put(col.valid, accel),
+                            col.dictionary,
+                        )
+                    except Exception:
+                        # device memory pressure: evict cached columns of
+                        # other tables (reference analogue: buffer-manager
+                        # style eviction; our unit is whole columns) and retry
+                        evicted = self._evict_others()
+                        if not evicted:
+                            raise
+                        c = SCol(
+                            col.type, jax.device_put(col.data, accel),
+                            None if col.valid is None else jax.device_put(col.valid, accel),
+                            col.dictionary,
+                        )
             self._cols[key] = c
         return c
 

@@ -61,6 +61,13 @@ def adapt_for_sqlite(sql: str) -> str:
 
     # bare typed date literal (zero-padded for sqlite string comparison)
     sql = re.sub(r"date\s+'(\d{4})-(\d{1,2})-(\d{1,2})'", _pad, sql, flags=re.IGNORECASE)
+    # bare date-shaped string literals ('2002-4-01'): zero-pad so sqlite's
+    # TEXT comparison against ISO-stored dates works
+    sql = re.sub(r"'(\d{4})-(\d{1,2})-(\d{1,2})'", _pad, sql)
+    # CAST(x AS DECIMAL/NUMERIC(p,s)) keeps integer affinity in sqlite, so
+    # 294/304 would integer-divide to 0; force REAL
+    sql = re.sub(r"as\s+(?:decimal|numeric)\s*(?:\(\s*\d+\s*(?:,\s*\d+)?\s*\))?",
+                 "AS REAL", sql, flags=re.IGNORECASE)
     # extract(year from X)
     sql = re.sub(
         r"extract\s*\(\s*year\s+from\s+([^)]+)\)",
