@@ -208,3 +208,12 @@ def first_true(n: int, like=None):
     if n:
         out[0] = True
     return out
+
+
+def lut_take(lut, codes):
+    """Gather a host-computed lookup table by (possibly traced) codes."""
+    if is_jax(codes):
+        import jax.numpy as jnp_
+
+        return jnp_.asarray(lut)[codes]
+    return np.asarray(lut)[np.asarray(codes)]

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import backend as be
 from .backend import xnp as jnp
 
 from ..plan.exprs import BExpr, Call, CaseExpr, Cast, ColRef, Const
@@ -234,7 +235,7 @@ def _cast_from_string(a: SCol, d: Type) -> SCol:
 
     def lut(fn, dtype):
         table = strings.value_lut(a.dictionary, fn, dtype)
-        return jnp.asarray(table)[a.data]
+        return be.lut_take(table, a.data)
 
     valid = a.valid
     if d.kind in (K.INT, K.BIGINT):
@@ -326,7 +327,7 @@ def _remap_string(c: SCol, merged: np.ndarray) -> SCol:
     if c.dictionary is None:
         return SCol(c.type, c.data, c.valid, merged)
     remap = np.searchsorted(merged, c.dictionary).astype(np.int32)
-    return SCol(c.type, jnp.asarray(remap)[c.data], c.valid, merged)
+    return SCol(c.type, be.lut_take(remap, c.data), c.valid, merged)
 
 
 # --------------------------------------------------------------------- calls
@@ -422,13 +423,13 @@ def eval_call(e: Call, env: dict[int, SCol]) -> SCol:
         rx = _re.compile(str(p.dictionary[0]))
         rep = str(r.dictionary[0]).replace("\\0", "\\g<0>")
         new_dict, remap = strings.map_dictionary(a.dictionary, lambda s: rx.sub(rep, s))
-        return SCol(e.type, jnp.asarray(remap)[a.data], a.valid, new_dict)
+        return SCol(e.type, be.lut_take(remap, a.data), a.valid, new_dict)
     if op in ("upper", "lower", "ltrim", "rtrim", "trim", "reverse"):
         return _eval_string_map(op, args[0], e.type)
     if op == "length":
         a = args[0]
         lut = strings.value_lut(a.dictionary, len, np.int64)
-        return SCol(e.type, jnp.asarray(lut)[a.data], a.valid)
+        return SCol(e.type, be.lut_take(lut, a.data), a.valid)
     if op == "substring":
         return _eval_substring(args, e.type)
     if op == "concat":
@@ -437,13 +438,13 @@ def eval_call(e: Call, env: dict[int, SCol]) -> SCol:
         a, frm, to = args
         f, t_ = str(frm.dictionary[0]), str(to.dictionary[0])
         nd, remap = strings.map_dictionary(a.dictionary, lambda s: s.replace(f, t_))
-        return SCol(e.type, jnp.asarray(remap)[a.data], a.valid, nd)
+        return SCol(e.type, be.lut_take(remap, a.data), a.valid, nd)
     if op in ("startswith", "endswith"):
         a, p = args
         pat = str(p.dictionary[0])
         fn = (lambda s: s.startswith(pat)) if op == "startswith" else (lambda s: s.endswith(pat))
         lut = strings.predicate_lut(a.dictionary, fn)
-        return SCol(e.type, jnp.asarray(lut)[a.data], _and_valid(a, p))
+        return SCol(e.type, be.lut_take(lut, a.data), _and_valid(a, p))
     if op in ("abs", "floor", "ceil", "sqrt", "exp", "ln", "log10", "sin", "cos"):
         return _eval_math1(op, args[0], e.type)
     if op == "round":
@@ -567,7 +568,7 @@ def _eval_like(a: SCol, p: SCol, t: Type, ci: bool) -> SCol:
         raise EvalError("LIKE with non-constant pattern not supported yet")
     pat = str(p.dictionary[0])
     lut = strings.like_lut(a.dictionary, pat, ci)
-    return SCol(t, jnp.asarray(lut)[a.data], a.valid)
+    return SCol(t, be.lut_take(lut, a.data), a.valid)
 
 
 def _eval_string_map(op: str, a: SCol, t: Type) -> SCol:
@@ -580,7 +581,7 @@ def _eval_string_map(op: str, a: SCol, t: Type) -> SCol:
         "reverse": lambda s: s[::-1],
     }[op]
     nd, remap = strings.map_dictionary(a.dictionary, fn)
-    return SCol(t, jnp.asarray(remap)[a.data], a.valid, nd)
+    return SCol(t, be.lut_take(remap, a.data), a.valid, nd)
 
 
 def _eval_substring(args: list[SCol], t: Type) -> SCol:
@@ -594,7 +595,7 @@ def _eval_substring(args: list[SCol], t: Type) -> SCol:
             return s[b:b + l0]
 
         nd, remap = strings.map_dictionary(a.dictionary, fn)
-        return SCol(t, jnp.asarray(remap)[a.data], a.valid, nd)
+        return SCol(t, be.lut_take(remap, a.data), a.valid, nd)
     raise EvalError("substring with per-row start/length not supported yet")
 
 
@@ -612,7 +613,7 @@ def _eval_concat(args: list[SCol], t: Type) -> SCol:
         def fn(s):
             return "".join(s if p is None else p for p in pieces)
         nd, remap = strings.map_dictionary(var.dictionary, fn)
-        return SCol(t, jnp.asarray(remap)[var.data], _and_valid(*args), nd)
+        return SCol(t, be.lut_take(remap, var.data), _and_valid(*args), nd)
     # general: host roundtrip
     host = []
     n = max(a.data.shape[0] for a in args if a.data.ndim)

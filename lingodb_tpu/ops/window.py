@@ -48,9 +48,12 @@ def run_window(op: L.Window, vt: VTable) -> VTable:
         if nf is None:
             nf = not asc
         f = keymod.null_flag(c, nf)
+        img = keymod.order_image(c)
         if f is not None:
             operands.append(f)
-        img = keymod.order_image(c)
+            # NULL rows carry arbitrary underlying values: zero their image so
+            # they don't split peer groups or break ties (see keys.py)
+            img = jnp.where(c.valid, img, jnp.zeros((), img.dtype))
         operands.append(img if asc else keymod.descending(img))
     iota = jnp.arange(n, dtype=jnp.int64)
     res = jax.lax.sort(operands + [iota], num_keys=len(operands) + 1)
@@ -135,10 +138,10 @@ def _compute_fn(f: L.WindowFn, op: L.Window, vt: VTable, perm, seg, num_parts,
         size = (jnp.take(part_end, seg) - jnp.take(part_start, seg)).astype(jnp.float64)
         return SCol(t, jnp.where(size > 0, rank / jnp.maximum(size, 1), 0.0), None)
     if fn == "cume_dist":
-        # peers counted through end of peer group
-        run_end = _next_run_start(pos, ob, pb, part_end, seg, n)
+        # peers counted through the inclusive end of the peer group
+        run_end = _run_inclusive_end(pos, ob)
         size = (jnp.take(part_end, seg) - jnp.take(part_start, seg) + 1).astype(jnp.float64)
-        return SCol(t, (run_end - jnp.take(part_start, seg)).astype(jnp.float64) / size, None)
+        return SCol(t, (run_end - jnp.take(part_start, seg) + 1).astype(jnp.float64) / size, None)
     if fn == "ntile":
         k = int(f.extra)
         size = jnp.take(part_end, seg) - jnp.take(part_start, seg) + 1
@@ -170,7 +173,17 @@ def _compute_fn(f: L.WindowFn, op: L.Window, vt: VTable, perm, seg, num_parts,
         return SCol(t, data, valid, arg_sorted.dictionary)
 
     # aggregates over the frame
-    running = has_order and op.frame_start is None and op.frame_end is None
+    # running frames: [unbounded preceding .. current row]. The SQL default
+    # frame (ORDER BY, no explicit frame) is RANGE ... CURRENT ROW, which
+    # includes the whole peer group of the current row; explicit
+    # ROWS ... CURRENT ROW cuts at the current row exactly.
+    running = has_order and op.frame_start in (None, "unbounded") and (
+        op.frame_end is None or op.frame_end == 0)
+    peer_mode = running and (
+        op.frame_end is None or (op.frame_mode == "range" and op.frame_end == 0))
+    peer_end = None
+    if peer_mode:
+        peer_end = _run_inclusive_end(pos, ob)
     if fn == "count_star":
         vals = jnp.ones((n,), jnp.int64)
         valid_rows = None
@@ -188,6 +201,9 @@ def _compute_fn(f: L.WindowFn, op: L.Window, vt: VTable, perm, seg, num_parts,
             s = _segmented_cumsum(x, pb)
             cnt = _segmented_cumsum(
                 jnp.ones((n,), jnp.int64) if valid_rows is None else valid_rows.astype(jnp.int64), pb)
+            if peer_end is not None:
+                s = jnp.take(s, peer_end, axis=0)
+                cnt = jnp.take(cnt, peer_end)
         else:
             stot = be.segment_sum(x, seg.astype(jnp.int32), num_segments=num_parts, indices_are_sorted=True)
             s = jnp.take(stot, seg, axis=0)
@@ -216,6 +232,8 @@ def _compute_fn(f: L.WindowFn, op: L.Window, vt: VTable, perm, seg, num_parts,
         x = vals if valid_rows is None else jnp.where(valid_rows, vals, big)
         if running:
             out = _segmented_scan_minmax(x, pb, fn == "min")
+            if peer_end is not None:
+                out = jnp.take(out, peer_end, axis=0)
         else:
             tot = (be.segment_min if fn == "min" else be.segment_max)(
                 x, seg.astype(jnp.int32), num_segments=num_parts, indices_are_sorted=True)
@@ -223,6 +241,8 @@ def _compute_fn(f: L.WindowFn, op: L.Window, vt: VTable, perm, seg, num_parts,
         cnt_arr = jnp.ones((n,), jnp.int64) if valid_rows is None else valid_rows.astype(jnp.int64)
         if running:
             cnt = _segmented_cumsum(cnt_arr, pb)
+            if peer_end is not None:
+                cnt = jnp.take(cnt, peer_end)
         else:
             ctot = be.segment_sum(cnt_arr, seg.astype(jnp.int32), num_segments=num_parts, indices_are_sorted=True)
             cnt = jnp.take(ctot, seg)
@@ -243,7 +263,7 @@ def _segmented_scan_last_true(pos, flags):
     return jax.lax.associative_scan(jnp.maximum, v)
 
 
-def _next_run_start(pos, ob, pb, part_end, seg, n):
+def _run_inclusive_end(pos, ob):
     """Last position of each peer group (inclusive end of the run)."""
     next_start = jnp.concatenate([ob[1:], jnp.ones((1,), jnp.bool_)])
     v = jnp.where(next_start, pos, jnp.iinfo(jnp.int64).max)

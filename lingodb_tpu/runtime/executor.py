@@ -29,7 +29,7 @@ from ..plan.exprs import Call, ColRef
 from ..sql.types import K, Type
 from ..utils import tracer
 from .result import ResultTable
-from .vtable import SCol, VTable, jnp_dtype
+from .vtable import SCol, VTable, dec_is_float, jnp_dtype
 
 
 class ExecError(Exception):
@@ -174,6 +174,134 @@ class Executor:
     # the TPU-native replacement for the reference's fused per-morsel pipeline
     # (SubOpToControlFlow emits one loop doing scan+filter+aggregate per
     # morsel; XLA fuses the same chain across whole columns here).
+    def _subtree_versions(self, node) -> list:
+        out = []
+
+        def walk(x):
+            if isinstance(x, L.Scan):
+                e = self.session.catalog.get_table(x.table)
+                if e is not None:
+                    out.append((x.table, e.storage.version))
+            for c in x.children():
+                walk(c)
+
+        walk(node)
+        return out
+
+    _FUSABLE_KEY_KINDS = (K.INT, K.BIGINT, K.DATE, K.TIMESTAMP, K.BOOL)
+
+    def _prep_fused_join(self, jop, build_plan, build_is_right, agg_op):
+        """Validate + materialize one dimension join for the fused pipeline.
+        Returns None when the join can't be a static-shape unique-key lookup."""
+        from ..plan import exprs as E
+
+        lcids = {c.cid for c in jop.left.output_cols()}
+        rcids = {c.cid for c in jop.right.output_cols()}
+        probe_cids = lcids if build_is_right else rcids
+        build_cids = rcids if build_is_right else lcids
+        if jop.predicate is None:
+            return None
+        conjs = E.conjuncts(jop.predicate)
+        key_pair = None
+        residual = []
+        for c in conjs:
+            if key_pair is None and isinstance(c, Call) and c.op == "eq":
+                a, b = c.args
+                ua, ub = E.used_cols(a), E.used_cols(b)
+                if ua and ub:
+                    if ua <= probe_cids and ub <= build_cids:
+                        key_pair = (a, b)
+                        continue
+                    if ua <= build_cids and ub <= probe_cids:
+                        key_pair = (b, a)
+                        continue
+            residual.append(c)
+        if key_pair is None:
+            # Q19 pattern: equality common to all OR branches — use it as the
+            # lookup key, re-check the entire predicate as residual
+            lk, rk, ns = extract_equi_keys(jop.predicate, lcids, rcids)
+            if lk and not any(ns):
+                lexpr, rexpr = lk[0], rk[0]
+                key_pair = (lexpr, rexpr) if build_is_right else (rexpr, lexpr)
+                residual = [jop.predicate]
+            else:
+                return None
+        probe_expr, build_expr = key_pair
+        pt, bt = probe_expr.type, build_expr.type
+        ik = self._FUSABLE_KEY_KINDS
+        ok_int = pt.kind in ik and bt.kind in ik
+        ok_dec = (pt.kind == K.DECIMAL and bt.kind == K.DECIMAL
+                  and pt.s == bt.s and not dec_is_float(pt) and not dec_is_float(bt))
+        if not (ok_int or ok_dec):
+            return None
+        if jop.kind in ("semi", "anti") and residual:
+            pass  # fine: residual narrows `found` on the unique candidate
+        # residual under left join also only narrows `found` (NULL-extend)
+
+        bvt = self.run(build_plan)
+        import jax as _jax
+
+        def to_np(a):
+            return np.asarray(_jax.device_get(a))
+
+        bk = sc.eval_expr(build_expr, bvt.cols)
+        bk = sc._bcast(bk, bvt.num_rows)
+        kdata = to_np(bk.data).astype(np.int64)
+        kvalid = None if bk.valid is None else to_np(bk.valid)
+        keep = np.ones(len(kdata), bool) if kvalid is None else kvalid.copy()
+        kept = kdata[keep]
+        order = np.argsort(kept, kind="stable")
+        skeys = kept[order]
+        row_ids = np.flatnonzero(keep)[order]
+        if len(skeys) > 1 and not np.all(np.diff(skeys) > 0):
+            if jop.kind in ("semi", "anti") and not residual:
+                # existence joins only need the key SET
+                skeys, first = np.unique(skeys, return_index=True)
+                row_ids = row_ids[first]
+            else:
+                return None  # duplicate build keys: not a unique-key lookup
+
+        # payload columns referenced downstream of this join
+        needed = self._agg_subtree_used_cids(agg_op) & build_cids
+        payloads = []
+        arrays = [skeys]
+        for cid in sorted(needed):
+            c = bvt.col(cid)
+            data = to_np(c.data)[row_ids]
+            valid = None if c.valid is None else to_np(c.valid)[row_ids]
+            arrays.append(data)
+            if valid is not None:
+                arrays.append(valid)
+            payloads.append((cid, c.type, valid is not None, c.dictionary))
+        return {
+            "kind": jop.kind,
+            "probe_expr": probe_expr,
+            "residual": residual,
+            "payloads": payloads,
+            "nb": len(skeys),
+            "arrays": arrays,
+        }
+
+    def _agg_subtree_used_cids(self, op) -> set:
+        from ..plan import exprs as E
+
+        used = set(op.group_by)
+        used.update(a.arg for a in op.aggs if a.arg is not None)
+
+        def walk(x):
+            if isinstance(x, L.Select):
+                used.update(E.used_cols(x.predicate))
+            elif isinstance(x, L.Map):
+                for _c, e in x.computed:
+                    used.update(E.used_cols(e))
+            elif isinstance(x, L.Join) and x.predicate is not None:
+                used.update(E.used_cols(x.predicate))
+            for c in x.children():
+                walk(c)
+
+        walk(op.child)
+        return used
+
     def _try_fused_agg(self, op: L.Aggregate):
         from ..plan.serial import plan_key
 
@@ -181,11 +309,40 @@ class Executor:
             return None
         if any(a.fn not in ("sum", "count", "count_star", "min", "max") for a in op.aggs):
             return None
+
+        def subtree_max_rows(node):
+            if isinstance(node, L.Scan):
+                e = self.session.catalog.get_table(node.table)
+                return e.storage.num_rows if e is not None else 0
+            return max((subtree_max_rows(c) for c in node.children()), default=0)
+
+        # spine walk: Select/Map chain, passing through dimension joins whose
+        # build side is the smaller subtree (the probe side continues the
+        # spine). Each such join becomes a static-shape lookup inside the
+        # fused program when the build keys are unique (FK joins) — the
+        # TPU-native equivalent of the reference probing a hash-indexed view
+        # inside the per-morsel loop (SubOpToControlFlow.cpp lookup lowering).
         steps = []
         cur = op.child
-        while isinstance(cur, (L.Select, L.Map)):
-            steps.append(cur)
-            cur = cur.children()[0]
+        while True:
+            if isinstance(cur, (L.Select, L.Map)):
+                steps.append(("sm", cur))
+                cur = cur.children()[0]
+                continue
+            if (isinstance(cur, L.Join)
+                    and cur.kind in ("inner", "semi", "anti", "left")
+                    and getattr(cur, "null_aware", None) is None):
+                lrows, rrows = subtree_max_rows(cur.left), subtree_max_rows(cur.right)
+                if cur.kind in ("semi", "anti", "left"):
+                    spine, build = cur.left, cur.right  # semantics fix sides
+                elif lrows >= rrows:
+                    spine, build = cur.left, cur.right
+                else:
+                    spine, build = cur.right, cur.left
+                steps.append(("join", cur, build, build is cur.right))
+                cur = spine
+                continue
+            break
         if not isinstance(cur, L.Scan):
             return None
         scan = cur
@@ -200,10 +357,22 @@ class Executor:
         if n < dv.SMALL_ROWS:
             return None  # jit compile cost exceeds eager cost on tiny tables
         pad_mask = dev["__pad_mask__"]
-        key = ("fused_agg", plan_key(op), scan.table, entry.storage.version)
+        versions = tuple(sorted(self._subtree_versions(op)))
+        key = ("fused_agg", plan_key(op), versions)
         cache = self.session.stage_cache
         if cache.get(key) == "eager":
             return None
+
+        # prepare dimension builds (eager, small) + validate join shapes
+        join_preps = {}
+        for st in steps:
+            if st[0] != "join":
+                continue
+            prep = self._prep_fused_join(st[1], st[2], st[3], op)
+            if prep is None:
+                cache[key] = "eager"
+                return None
+            join_preps[id(st[1])] = prep
 
         templates = [(c.cid, dev[c.name]) for c in scan.cols]
         arrays = []
@@ -213,6 +382,10 @@ class Executor:
                 arrays.append(t.valid)
         if pad_mask is not None:
             arrays.append(pad_mask)
+        join_arg_start = len(arrays)
+        for st in steps:
+            if st[0] == "join":
+                arrays.extend(join_preps[id(st[1])]["arrays"])
 
         if key not in cache:
             meta = {}
@@ -229,27 +402,42 @@ class Executor:
                         i += 1
                     env[cid] = SCol(t.type, data, valid, t.dictionary)
                 mask = arrs[i] if pad_mask is not None else None
+                if mask is not None:
+                    i += 1
                 for r in scan.restrictions:
                     m = sc.truth_mask(sc.eval_expr(r, env))
                     mask = m if mask is None else mask & m
                 for step in steps:
-                    if isinstance(step, L.Select):
-                        m = sc.truth_mask(sc.eval_expr(step.predicate, env))
+                    if step[0] == "sm" and isinstance(step[1], L.Select):
+                        m = sc.truth_mask(sc.eval_expr(step[1].predicate, env))
                         mask = m if mask is None else mask & m
-                    else:
-                        for info, e in step.computed:
+                    elif step[0] == "sm":
+                        for info, e in step[1].computed:
                             env[info.cid] = sc.eval_expr(e, env)
+                    else:
+                        prep = join_preps[id(step[1])]
+                        nargs = len(prep["arrays"])
+                        mask = _fused_join_step(
+                            prep, arrs[i:i + nargs], env, mask, n)
+                        i += nargs
                 if mask is not None and mask.ndim == 0:
                     mask = jnp.broadcast_to(mask, (n,))
                 if op.group_by:
                     key_cols = [env[c] for c in op.group_by]
+                    key_cols = [sc._bcast(c, n) for c in key_cols]
                     gid, domain = gb.dense_gid(key_cols)
                     if gid is None:
-                        raise _NotDense()
+                        meta["mode"] = "general"
+                        meta["key_templates"] = [
+                            (c.type, c.dictionary, c.valid is not None)
+                            for c in key_cols
+                        ]
+                        return _fused_general_group(op, key_cols, env, mask, n, meta)
                     radices = [gb.small_domain(c) for c in key_cols]
                 else:
                     gid = jnp.zeros((n,), jnp.int32)
                     domain, radices = 1, []
+                meta["mode"] = "dense"
                 meta["domain"], meta["radices"] = domain, radices
                 meta["key_templates"] = [
                     (env[c].type, env[c].dictionary, env[c].valid is not None)
@@ -311,6 +499,9 @@ class Executor:
         jitted, meta, _t = cache[key]
         from . import device as dv
 
+        if meta.get("mode") == "general":
+            return self._finish_fused_general(op, result, meta)
+
         # ONE packed transfer of all (domain,)-sized outputs; compaction and
         # key decoding happen in host numpy, results live on the CPU backend
         host = dv.fetch_arrays_np({i: a for i, a in enumerate(result)})
@@ -361,6 +552,46 @@ class Executor:
             out[spec.out.cid] = self._finish_fused_agg(
                 spec, val, cnt, cpu_col, meta["agg_dicts"].get(spec.out.cid))
         return VTable(out, 1)
+
+    def _finish_fused_general(self, op, result, meta) -> VTable:
+        """Mode 'general' epilogue: fetch the group count (one scalar round
+        trip), slice the padded n-sized device outputs to the next power of
+        two with a cached static program, fetch those, build host columns."""
+        from . import device as dv
+
+        g = int(np.asarray(jax.device_get(result[0])))
+        if g == 0:
+            return VTable({c.cid: _empty_scol(c.type) for c in op.output_cols()}, 0)
+        n = result[1].shape[0]
+        g_pad = min(n, 1 << max(g - 1, 1).bit_length()) if g > 1 else 1
+        sliced = _slice_prefix(tuple(result[1:]), g_pad)
+        host = dv.fetch_arrays_np({i: a for i, a in enumerate(sliced)})
+
+        def cpu_col(t, data_np, valid_np, dictionary=None):
+            return SCol(t, np.asarray(data_np),
+                        None if valid_np is None else np.asarray(valid_np),
+                        dictionary)
+
+        agg_cols: dict[int, SCol] = {}
+        i = 0
+        for pos, cid in enumerate(op.group_by):
+            ktype, kdict, knull = meta["key_templates"][pos]
+            data = host[i][:g]
+            i += 1
+            valid = None
+            if knull:
+                valid = host[i][:g]
+                i += 1
+            agg_cols[cid] = cpu_col(ktype, data, valid, kdict)
+        for spec in op.aggs:
+            val, cnt = host[i][:g], host[i + 1][:g]
+            i += 2
+            agg_cols[spec.out.cid] = self._finish_fused_agg(
+                spec, val, cnt, cpu_col, meta["agg_dicts"].get(spec.out.cid))
+        out = {c.cid: agg_cols[c.cid] for c in op.group_cols}
+        for spec in op.aggs:
+            out[spec.out.cid] = agg_cols[spec.out.cid]
+        return VTable(out, g)
 
     def _finish_fused_agg(self, spec, val, cnt, cpu_col, dictionary) -> SCol:
         t = spec.out.type
@@ -705,6 +936,137 @@ def _all_pairs(nl: int, nr: int):
     li = jnp.repeat(jnp.arange(nl, dtype=jnp.int64), nr)
     ri = jnp.tile(jnp.arange(nr, dtype=jnp.int64), nl)
     return li, ri, nl * nr
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _slice_prefix(arrays, g_pad: int):
+    return tuple(a[:g_pad] for a in arrays)
+
+
+def _fused_general_group(op, key_cols, env, mask, n, meta):
+    """General (large-domain) grouping INSIDE the fused program: sort by key
+    images with filtered-out rows pushed to the end, segment-reduce via the
+    sorted strategies, emit n-sized padded outputs plus the group count.
+    The host slices the first `num_groups` entries with one tiny follow-up
+    program (see the mode=='general' post-processing) — two device round
+    trips total regardless of plan depth."""
+    import jax.numpy as jx
+
+    in_mask = mask if mask is not None else jx.ones((n,), jx.bool_)
+    imgs = [jx.broadcast_to(x, (n,)) for x in gb.keymod.grouping_images(key_cols)]
+    iota = jx.arange(n, dtype=jx.int64)
+    sortops = [(~in_mask).astype(jx.int32)] + imgs + [iota]
+    res = jax.lax.sort(sortops, num_keys=len(sortops) - 1)
+    inm_s = res[0] == 0
+    simgs = res[1:-1]
+    perm = res[-1]
+    boundary = jx.concatenate([jx.ones((1,), jx.bool_), jx.zeros((n - 1,), jx.bool_)])
+    for s_ in simgs:
+        boundary = boundary | jx.concatenate(
+            [jx.ones((1,), jx.bool_), s_[1:] != s_[:-1]])
+    boundary = boundary & inm_s
+    seg = (jx.cumsum(boundary.astype(jx.int32)) - 1).astype(jx.int32)
+    seg = jx.maximum(seg, 0)  # all-filtered prefix guard
+    num_groups = jx.sum(boundary.astype(jx.int64))
+    rep_pos = jx.searchsorted(seg, jx.arange(n, dtype=seg.dtype), side="left")
+    rep_pos = jx.clip(rep_pos, 0, n - 1)
+
+    outs = [num_groups]
+    for c in key_cols:
+        data_s = jx.take(c.data, perm, axis=0)
+        outs.append(jx.take(data_s, rep_pos, axis=0))
+        if c.valid is not None:
+            valid_s = jx.take(c.valid, perm)
+            outs.append(jx.take(valid_s, rep_pos))
+
+    ones = jx.where(inm_s, jx.ones((n,), jx.int64), jx.zeros((n,), jx.int64))
+    meta["agg_dicts"] = {}
+    from ..ops import backend as bk
+
+    for spec in op.aggs:
+        arg = None if spec.arg is None else sc._bcast(env[spec.arg], n)
+        if spec.fn == "count_star":
+            cnt = bk._sorted_segment_sum(ones, seg, n)
+            outs.append(cnt)
+            outs.append(cnt)
+            continue
+        avalid_s = None if arg.valid is None else jx.take(arg.valid, perm)
+        vm = ones if avalid_s is None else jx.where(avalid_s, ones, jx.zeros_like(ones))
+        cnt = bk._sorted_segment_sum(vm, seg, n)
+        if spec.fn == "count":
+            outs.append(cnt)
+            outs.append(cnt)
+            continue
+        data_s = jx.take(arg.data, perm, axis=0).astype(jnp_dtype(spec.out.type))
+        if spec.fn == "sum":
+            keep = vm > 0
+            data_s = jx.where(keep, data_s, jx.zeros_like(data_s))
+            outs.append(bk._sorted_segment_sum(data_s, seg, n))
+            outs.append(cnt)
+            continue
+        sentinel = gb._extreme(data_s.dtype, maximum=(spec.fn == "min"))
+        keep = inm_s if avalid_s is None else (inm_s & avalid_s)
+        data_s = jx.where(keep, data_s, sentinel)
+        outs.append(bk._sorted_segment_minmax(data_s, seg, n, spec.fn))
+        outs.append(cnt)
+        meta["agg_dicts"][spec.out.cid] = arg.dictionary
+    return tuple(outs)
+
+
+def _fused_join_step(prep, args, env, mask, n):
+    """One dimension-join lookup inside the fused jitted program: binary
+    search over the sorted unique build keys, gather payloads, apply
+    residual predicates, and fold the result into the pipeline mask."""
+    import jax.numpy as jx
+
+    kind = prep["kind"]
+    c = sc.eval_expr(prep["probe_expr"], env)
+    c = sc._bcast(c, n)
+    pimg = c.data.astype(jx.int64)
+    nb = prep["nb"]
+    i = 0
+    skeys = args[i]
+    i += 1
+    if nb == 0:
+        found = jx.zeros((n,), jx.bool_)
+        posc = jx.zeros((n,), jx.int64)
+    else:
+        pos = jx.searchsorted(skeys, pimg)
+        posc = jx.clip(pos, 0, nb - 1)
+        found = jx.take(skeys, posc) == pimg
+    if c.valid is not None:
+        found = found & c.valid
+    # bind payload columns (left-join semantics: NULL when not found)
+    bound = []
+    for cid, t, has_valid, d in prep["payloads"]:
+        if nb == 0:
+            data = jx.zeros((n,), jnp_dtype(t))
+            valid = jx.zeros((n,), jx.bool_)
+        else:
+            data = jx.take(args[i], posc, axis=0)
+            valid = found
+            if has_valid:
+                valid = valid & jx.take(args[i + 1], posc)
+        i += 1 + (1 if has_valid else 0)
+        col = SCol(t.as_nullable(), data, valid, d)
+        env[cid] = col
+        bound.append(col)
+    for r in prep["residual"]:
+        found = found & sc.truth_mask(sc.eval_expr(r, env))
+    if prep["residual"]:
+        for cid, t, has_valid, d in prep["payloads"]:
+            old = env[cid]
+            env[cid] = SCol(old.type, old.data,
+                            (old.valid & found) if old.valid is not None else found, d)
+    if kind in ("inner", "semi"):
+        return found if mask is None else mask & found
+    if kind == "anti":
+        nf = ~found
+        return nf if mask is None else mask & nf
+    return mask  # left join: mask unchanged, payload validity carries `found`
 
 
 def _null_scol(template: SCol, n: int) -> SCol:

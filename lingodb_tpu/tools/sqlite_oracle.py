@@ -64,6 +64,16 @@ def adapt_for_sqlite(sql: str) -> str:
     # bare date-shaped string literals ('2002-4-01'): zero-pad so sqlite's
     # TEXT comparison against ISO-stored dates works
     sql = re.sub(r"'(\d{4})-(\d{1,2})-(\d{1,2})'", _pad, sql)
+    # column + interval 'N days' -> date(col, '+N day')
+    sql = re.sub(
+        r"(\w+(?:\.\w+)?)\s*([+-])\s*interval\s+'(\d+)\s*(day|month|year)s?'",
+        lambda m: f"date({m.group(1)}, '{m.group(2)}{m.group(3)} {m.group(4)}')",
+        sql, flags=re.IGNORECASE,
+    )
+    # sqlite rejects parenthesized set-operation operands:
+    # "(select..) except (select..)" -> "(select.. except select..)"
+    sql = re.sub(r"\)\s*(union all|union|except|intersect)\s*\(\s*(select)\b",
+                 r" \1 \2", sql, flags=re.IGNORECASE)
     # CAST(x AS DECIMAL/NUMERIC(p,s)) keeps integer affinity in sqlite, so
     # 294/304 would integer-divide to 0; force REAL
     sql = re.sub(r"as\s+(?:decimal|numeric)\s*(?:\(\s*\d+\s*(?:,\s*\d+)?\s*\))?",
