@@ -202,20 +202,29 @@ class Executor:
         if jop.predicate is None:
             return None
         conjs = E.conjuncts(jop.predicate)
-        key_pair = None
+        pairs = []
         residual = []
         for c in conjs:
-            if key_pair is None and isinstance(c, Call) and c.op == "eq":
+            if isinstance(c, Call) and c.op == "eq" and len(pairs) < 2:
                 a, b = c.args
                 ua, ub = E.used_cols(a), E.used_cols(b)
                 if ua and ub:
                     if ua <= probe_cids and ub <= build_cids:
-                        key_pair = (a, b)
+                        pairs.append((a, b))
                         continue
                     if ua <= build_cids and ub <= probe_cids:
-                        key_pair = (b, a)
+                        pairs.append((b, a))
                         continue
             residual.append(c)
+        key_pair = pairs[0] if pairs else None
+        key_pair2 = None
+        if len(pairs) == 2:
+            # composite key: pack two 32-bit images into one int64
+            w32 = (K.INT, K.DATE, K.BOOL)
+            if all(p.type.kind in w32 and b.type.kind in w32 for p, b in pairs):
+                key_pair2 = pairs[1]
+            else:
+                residual.append(Call("eq", list(pairs[1]), Type.bool_(True)))
         if key_pair is None:
             # Q19 pattern: equality common to all OR branches — use it as the
             # lookup key, re-check the entire predicate as residual
@@ -234,6 +243,9 @@ class Executor:
                   and pt.s == bt.s and not dec_is_float(pt) and not dec_is_float(bt))
         if not (ok_int or ok_dec):
             return None
+        probe_expr2 = build_expr2 = None
+        if key_pair2 is not None:
+            probe_expr2, build_expr2 = key_pair2
         if jop.kind in ("semi", "anti") and residual:
             pass  # fine: residual narrows `found` on the unique candidate
         # residual under left join also only narrows `found` (NULL-extend)
@@ -248,6 +260,12 @@ class Executor:
         bk = sc._bcast(bk, bvt.num_rows)
         kdata = to_np(bk.data).astype(np.int64)
         kvalid = None if bk.valid is None else to_np(bk.valid)
+        if build_expr2 is not None:
+            bk2 = sc._bcast(sc.eval_expr(build_expr2, bvt.cols), bvt.num_rows)
+            kdata = (kdata << 32) | (to_np(bk2.data).astype(np.int64) & 0xFFFFFFFF)
+            if bk2.valid is not None:
+                v2 = to_np(bk2.valid)
+                kvalid = v2 if kvalid is None else (kvalid & v2)
         keep = np.ones(len(kdata), bool) if kvalid is None else kvalid.copy()
         kept = kdata[keep]
         order = np.argsort(kept, kind="stable")
@@ -276,6 +294,7 @@ class Executor:
         return {
             "kind": jop.kind,
             "probe_expr": probe_expr,
+            "probe_expr2": probe_expr2,
             "residual": residual,
             "payloads": payloads,
             "nb": len(skeys),
@@ -363,16 +382,23 @@ class Executor:
         if cache.get(key) == "eager":
             return None
 
-        # prepare dimension builds (eager, small) + validate join shapes
-        join_preps = {}
-        for st in steps:
-            if st[0] != "join":
-                continue
-            prep = self._prep_fused_join(st[1], st[2], st[3], op)
-            if prep is None:
-                cache[key] = "eager"
-                return None
-            join_preps[id(st[1])] = prep
+        # prepare dimension builds (eager, small) + validate join shapes.
+        # Preps are cached with the compiled entry: the cache key covers every
+        # involved table version, so build contents are fixed per key (avoids
+        # re-fetching dimension arrays from the device on every execution)
+        prep_key = ("fused_prep", key)
+        join_preps = cache.get(prep_key)
+        if join_preps is None:
+            join_preps = {}
+            for si, st in enumerate(steps):
+                if st[0] != "join":
+                    continue
+                prep = self._prep_fused_join(st[1], st[2], st[3], op)
+                if prep is None:
+                    cache[key] = "eager"
+                    return None
+                join_preps[si] = prep
+            cache[prep_key] = join_preps
 
         templates = [(c.cid, dev[c.name]) for c in scan.cols]
         arrays = []
@@ -383,9 +409,9 @@ class Executor:
         if pad_mask is not None:
             arrays.append(pad_mask)
         join_arg_start = len(arrays)
-        for st in steps:
+        for si, st in enumerate(steps):
             if st[0] == "join":
-                arrays.extend(join_preps[id(st[1])]["arrays"])
+                arrays.extend(join_preps[si]["arrays"])
 
         if key not in cache:
             meta = {}
@@ -407,7 +433,7 @@ class Executor:
                 for r in scan.restrictions:
                     m = sc.truth_mask(sc.eval_expr(r, env))
                     mask = m if mask is None else mask & m
-                for step in steps:
+                for si, step in enumerate(steps):
                     if step[0] == "sm" and isinstance(step[1], L.Select):
                         m = sc.truth_mask(sc.eval_expr(step[1].predicate, env))
                         mask = m if mask is None else mask & m
@@ -415,7 +441,7 @@ class Executor:
                         for info, e in step[1].computed:
                             env[info.cid] = sc.eval_expr(e, env)
                     else:
-                        prep = join_preps[id(step[1])]
+                        prep = join_preps[si]
                         nargs = len(prep["arrays"])
                         mask = _fused_join_step(
                             prep, arrs[i:i + nargs], env, mask, n)
@@ -1026,6 +1052,12 @@ def _fused_join_step(prep, args, env, mask, n):
     c = sc.eval_expr(prep["probe_expr"], env)
     c = sc._bcast(c, n)
     pimg = c.data.astype(jx.int64)
+    pvalid = c.valid
+    if prep.get("probe_expr2") is not None:
+        c2 = sc._bcast(sc.eval_expr(prep["probe_expr2"], env), n)
+        pimg = (pimg << 32) | (c2.data.astype(jx.int64) & 0xFFFFFFFF)
+        if c2.valid is not None:
+            pvalid = c2.valid if pvalid is None else (pvalid & c2.valid)
     nb = prep["nb"]
     i = 0
     skeys = args[i]
@@ -1037,8 +1069,8 @@ def _fused_join_step(prep, args, env, mask, n):
         pos = jx.searchsorted(skeys, pimg)
         posc = jx.clip(pos, 0, nb - 1)
         found = jx.take(skeys, posc) == pimg
-    if c.valid is not None:
-        found = found & c.valid
+    if pvalid is not None:
+        found = found & pvalid
     # bind payload columns (left-join semantics: NULL when not found)
     bound = []
     for cid, t, has_valid, d in prep["payloads"]:

@@ -189,7 +189,10 @@ def generate(sf: float = 0.01, seed: int = 19920601) -> dict[str, TableStorage]:
     # ---- partsupp -------------------------------------------------------
     ps_part = np.repeat(pkey, 4)
     i = np.tile(np.arange(4), n_part)
-    ps_supp = ((ps_part + (i * ((n_supp // 4) + (ps_part - 1) // n_supp))) % n_supp) + 1
+    # 4 distinct suppliers per part (spec: partsupp PK is (partkey, suppkey));
+    # stride n_supp//4 keeps i*stride < n_supp, so no wraparound collisions
+    stride = max(1, n_supp // 4)
+    ps_supp = ((ps_part - 1 + i * stride) % n_supp) + 1
     n_ps = len(ps_part)
     table("partsupp", {
         "ps_partkey": _int(ps_part),
