@@ -21,6 +21,14 @@ def _configure_jax():
 
     import jax
 
+    # LINGODB_PLATFORM=cpu forces the host platform (reference analogue:
+    # LINGODB_* env settings, Setting.h:38-78). Needed because JAX_PLATFORMS
+    # may be pinned by the environment; jax.config wins if set before first
+    # backend init.
+    forced = os.environ.get("LINGODB_PLATFORM")
+    if forced:
+        jax.config.update("jax_platforms", forced)
+
     jax.config.update("jax_enable_x64", True)
 
     # persistent compilation cache: compiles through the TPU tunnel cost

@@ -271,18 +271,49 @@ class Executor:
         order = np.argsort(kept, kind="stable")
         skeys = kept[order]
         row_ids = np.flatnonzero(keep)[order]
+        maxdup = 1
         if len(skeys) > 1 and not np.all(np.diff(skeys) > 0):
             if jop.kind in ("semi", "anti") and not residual:
                 # existence joins only need the key SET
                 skeys, first = np.unique(skeys, return_index=True)
                 row_ids = row_ids[first]
+            elif jop.kind in ("semi", "anti"):
+                # duplicate keys + residual: bounded candidate expansion —
+                # the jit probes up to maxdup candidates per key (statically
+                # unrolled); bail when runs are long (reference analogue:
+                # hash_multimap chains probed per tuple)
+                _u, counts = np.unique(skeys, return_counts=True)
+                maxdup = int(counts.max())
+                if maxdup > 16:
+                    return None
             else:
                 return None  # duplicate build keys: not a unique-key lookup
+
+        # direct-mapped position table when the key span is dense (FK joins
+        # on contiguous surrogate keys): ONE gather per probe instead of a
+        # log(n)-round binary search — binary search costs ~21 serialized
+        # random-gather rounds on TPU
+        direct = None
+        if len(skeys) and maxdup == 1:
+            kmin = int(skeys[0])
+            span = int(skeys[-1]) - kmin + 1
+            if span <= max(4 * len(skeys), 1024) and span <= (1 << 26):
+                lut = np.full(span, -1, np.int32)
+                # reversed assignment: first occurrence wins (duplicate keys
+                # in the semi/anti maxdup path probe consecutive candidates)
+                lut[(skeys - kmin).astype(np.int64)[::-1]] = np.arange(
+                    len(skeys), dtype=np.int32)[::-1]
+                direct = (kmin, span)
+                skeys_or_lut = lut
+            else:
+                skeys_or_lut = skeys
+        else:
+            skeys_or_lut = skeys
 
         # payload columns referenced downstream of this join
         needed = self._agg_subtree_used_cids(agg_op) & build_cids
         payloads = []
-        arrays = [skeys]
+        arrays = [skeys_or_lut]
         for cid in sorted(needed):
             c = bvt.col(cid)
             data = to_np(c.data)[row_ids]
@@ -295,6 +326,8 @@ class Executor:
             "kind": jop.kind,
             "probe_expr": probe_expr,
             "probe_expr2": probe_expr2,
+            "maxdup": maxdup,
+            "direct": direct,
             "residual": residual,
             "payloads": payloads,
             "nb": len(skeys),
@@ -1062,13 +1095,59 @@ def _fused_join_step(prep, args, env, mask, n):
     i = 0
     skeys = args[i]
     i += 1
+    direct = prep.get("direct")
+
+    def lookup_first(valid_default=True):
+        """Position of the first build row matching pimg, and a found mask."""
+        if direct is not None:
+            kmin, span = direct
+            off = pimg - kmin
+            offc = jx.clip(off, 0, span - 1)
+            p = jx.take(skeys, offc).astype(jx.int64)  # skeys IS the lut here
+            ok = (off >= 0) & (off < span) & (p >= 0)
+            return jx.clip(p, 0, max(nb - 1, 0)), ok
+        p = jx.searchsorted(args[0], pimg, side="left")
+        pc = jx.clip(p, 0, nb - 1)
+        ok = jx.take(args[0], pc) == pimg
+        return pc, ok
+
+    if prep.get("maxdup", 1) > 1 and nb > 0:
+        # semi/anti over duplicate keys with residual: statically-unrolled
+        # probe of up to maxdup candidates per key (searchsorted: direct maps
+        # are only built for unique-key joins)
+        pos0 = jx.searchsorted(skeys, pimg, side="left")
+        payload_args = []
+        ii = i
+        for cid, t, has_valid, d in prep["payloads"]:
+            pa = (args[ii], args[ii + 1] if has_valid else None)
+            payload_args.append(pa)
+            ii += 1 + (1 if has_valid else 0)
+        found = jx.zeros((n,), jx.bool_)
+        for j in range(prep["maxdup"]):
+            idx = pos0 + j
+            idxc = jx.clip(idx, 0, nb - 1)
+            cand = (jx.take(skeys, idxc) == pimg) & (idx < nb)
+            for (cid, t, has_valid, d), (pdata, pvalidarr) in zip(
+                    prep["payloads"], payload_args):
+                v = cand
+                if pvalidarr is not None:
+                    v = v & jx.take(pvalidarr, idxc)
+                env[cid] = SCol(t.as_nullable(), jx.take(pdata, idxc, axis=0), v, d)
+            ok = cand
+            for r in prep["residual"]:
+                ok = ok & sc.truth_mask(sc.eval_expr(r, env))
+            found = found | ok
+        if pvalid is not None:
+            found = found & pvalid
+        if kind == "semi":
+            return found if mask is None else mask & found
+        nf = ~found
+        return nf if mask is None else mask & nf
     if nb == 0:
         found = jx.zeros((n,), jx.bool_)
         posc = jx.zeros((n,), jx.int64)
     else:
-        pos = jx.searchsorted(skeys, pimg)
-        posc = jx.clip(pos, 0, nb - 1)
-        found = jx.take(skeys, posc) == pimg
+        posc, found = lookup_first()
     if pvalid is not None:
         found = found & pvalid
     # bind payload columns (left-join semantics: NULL when not found)

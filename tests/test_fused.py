@@ -13,7 +13,7 @@ QDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                     "queries", "tpch")
 
 # queries whose whole aggregate pipeline fuses (tracked; update when coverage grows)
-FUSED = [1, 3, 4, 5, 6, 7, 8, 9, 10, 12, 14, 18, 19]
+FUSED = [1, 3, 4, 5, 6, 7, 8, 9, 10, 12, 14, 18, 19, 21]
 
 
 @pytest.fixture(scope="module")
