@@ -44,6 +44,17 @@ class TableEntry:
     storage: TableStorage | None = None
     stats: list[dict] = field(default_factory=list)
     stats_version: int = -1
+    # hash indexes: index name -> key columns (reference: IndexCatalogEntry,
+    # LingoDBHashIndex; execution uses cached key->position lookup tables)
+    indexes: dict = field(default_factory=dict)
+
+    def index_on(self, cols: list[str]) -> str | None:
+        """Name of an index whose key set equals `cols`, if any."""
+        want = set(c.lower() for c in cols)
+        for iname, icols in self.indexes.items():
+            if set(c.lower() for c in icols) == want:
+                return iname
+        return None
 
     @property
     def num_rows(self) -> int:
@@ -105,6 +116,16 @@ class Catalog:
     def get_table(self, name) -> TableEntry | None:
         return self.tables.get(name.lower()) or self.tables.get(name)
 
+    def create_index(self, index_name, table_name, columns):
+        entry = self.get_table(table_name)
+        if entry is None:
+            raise ValueError(f"table '{table_name}' does not exist")
+        for c in columns:
+            if c not in entry.column_names and c.lower() not in entry.column_names:
+                raise ValueError(f"column '{c}' does not exist in '{table_name}'")
+        entry.indexes[index_name] = list(columns)
+        return entry
+
     def create_function(self, entry: FunctionEntry):
         self.functions[entry.name.lower()] = entry
 
@@ -128,6 +149,7 @@ class Catalog:
                     "primary_key": entry.primary_key,
                     "num_rows": entry.num_rows,
                     "stats": entry.get_stats(),
+                    "indexes": entry.indexes,
                 }
             )
             if entry.storage:
@@ -143,6 +165,7 @@ class Catalog:
             types = [type_from_json(c["type"]) for c in t["columns"]]
             storage = TableStorage.load(t["name"], self.db_dir, names, types)
             entry = TableEntry(t["name"], names, types, t.get("primary_key", []), storage)
+            entry.indexes = t.get("indexes", {})
             entry.stats = t.get("stats", [])
             entry.stats_version = storage.version
             self.tables[t["name"]] = entry

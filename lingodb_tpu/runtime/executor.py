@@ -190,6 +190,30 @@ class Executor:
 
     _FUSABLE_KEY_KINDS = (K.INT, K.BIGINT, K.DATE, K.TIMESTAMP, K.BOOL)
 
+    def _has_hash_index(self, build_plan, key_pair, key_pair2):
+        """True when the build side is a base-table scan carrying a declared
+        hash index whose key set equals the join key columns."""
+        from ..plan import logical as L
+
+        node = build_plan
+        while isinstance(node, (L.Select, L.Map)):
+            node = node.children()[0]
+        if not isinstance(node, L.Scan):
+            return False
+        entry = self.session.catalog.get_table(node.table)
+        if entry is None or not entry.indexes:
+            return False
+        cid_to_name = {c.cid: c.name for c in node.cols}
+        names = []
+        for kp in (key_pair, key_pair2):
+            if kp is None:
+                continue
+            bexpr = kp[1]
+            if not isinstance(bexpr, ColRef) or bexpr.cid not in cid_to_name:
+                return False
+            names.append(cid_to_name[bexpr.cid])
+        return bool(names) and entry.index_on(names) is not None
+
     def _prep_fused_join(self, jop, build_plan, build_is_right, agg_op):
         """Validate + materialize one dimension join for the fused pipeline.
         Returns None when the join can't be a static-shape unique-key lookup."""
@@ -292,12 +316,18 @@ class Executor:
         # direct-mapped position table when the key span is dense (FK joins
         # on contiguous surrogate keys): ONE gather per probe instead of a
         # log(n)-round binary search — binary search costs ~21 serialized
-        # random-gather rounds on TPU
+        # random-gather rounds on TPU. A declared hash index on the build key
+        # (CREATE INDEX; reference: LingoDBHashIndex + indexNestedLoop impl
+        # selection, OptimizeImplementations.cpp:580-660) lifts the density
+        # requirement: the index IS this table, so spend the memory.
         direct = None
         if len(skeys) and maxdup == 1:
             kmin = int(skeys[0])
             span = int(skeys[-1]) - kmin + 1
-            if span <= max(4 * len(skeys), 1024) and span <= (1 << 26):
+            cap = max(4 * len(skeys), 1024)
+            if self._has_hash_index(build_plan, key_pair, key_pair2):
+                cap = 1 << 26
+            if span <= cap and span <= (1 << 26):
                 lut = np.full(span, -1, np.int32)
                 # reversed assignment: first occurrence wins (duplicate keys
                 # in the semi/anti maxdup path probe consecutive candidates)

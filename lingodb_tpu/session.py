@@ -170,6 +170,9 @@ class Session:
         if isinstance(stmt, A.DropTableStmt):
             self.catalog.drop_table(stmt.name)
             return None
+        if isinstance(stmt, A.CreateIndexStmt):
+            self.catalog.create_index(stmt.name, stmt.table, stmt.columns)
+            return None
         if isinstance(stmt, A.CreateViewStmt):
             if not hasattr(self.catalog, "views"):
                 self.catalog.views = {}

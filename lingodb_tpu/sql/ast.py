@@ -291,6 +291,17 @@ class DropTableStmt:
 
 
 @dataclass
+class CreateIndexStmt:
+    """CREATE INDEX name ON table(cols) (reference: IndexCatalogEntry /
+    LingoDBHashIndex; on TPU the index materializes as a cached direct-map
+    lookup table for key->row-position joins)."""
+
+    name: str
+    table: str
+    columns: list[str]
+
+
+@dataclass
 class CreateViewStmt:
     name: str
     query: "SelectStmt"

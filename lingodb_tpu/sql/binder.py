@@ -408,6 +408,17 @@ class Binder:
                 parts.append(self.make_cmp("eq", ColRef(lc[0].cid, lc[0].type), ColRef(rc[0].cid, rc[0].type)))
             pred = E.make_and(parts)
         elif ref.condition is not None:
+            if kind == "inner" and _ast_has_subquery(ref.condition):
+                # subqueries in an INNER join condition: rewrite as
+                # cross-product + filter so the subquery machinery (single /
+                # mark joins, inlining, unnesting) applies unchanged
+                # (reference: ImplicitToExplicitJoins works on the selection)
+                cross = L.Join("cross", lplan, rplan, None)
+                plan2, pred_b = self.bind_scalar_with_subqueries(
+                    ref.condition, cond_scope, cross)
+                for t in lscope.tables + rscope.tables:
+                    scope.add(t)
+                return L.Select(plan2, pred_b)
             pred, lplan, rplan = self.bind_join_condition(ref.condition, cond_scope, lplan, rplan)
 
         if kind == "cross" and pred is None:
@@ -677,13 +688,29 @@ class Binder:
 
         aggs: list[L.AggSpec] = []
         agg_cache: dict[tuple, ColRef] = {}
+        subq_agg_cache: dict[tuple, BExpr] = {}
 
         def agg_collect(fn: str, arg_ast: Optional[A.Expr], distinct: bool) -> BExpr:
-            # bind the argument in pre-aggregation space
+            # bind the argument in pre-aggregation space; subqueries inside the
+            # argument (SUM((SELECT ...)), SUM(CASE WHEN EXISTS ...)) attach
+            # their joins BELOW the aggregation so the subquery value exists
+            # per input row (reference: sql_analyzer.cpp translates these via
+            # the same map-before-aggregate scheme). AST-keyed cache: post-agg
+            # binding re-requests the same aggregate and must not re-attach.
             if arg_ast is None:
                 arg_b = None
             else:
-                arg_b = self.bind_scalar(arg_ast, scope)
+                akey = (fn, _ast_key(arg_ast), distinct)
+                if akey in subq_agg_cache:
+                    return subq_agg_cache[akey]
+                p0 = plan_holder[0]
+                p, arg_b = self.bind_scalar_with_subqueries(arg_ast, scope, p0)
+                if p is not p0:
+                    plan_holder[0] = p
+                ref = self._register_agg(
+                    fn, arg_b, distinct, pre_computed, aggs, agg_cache)
+                subq_agg_cache[akey] = ref
+                return ref
             return self._register_agg(fn, arg_b, distinct, pre_computed, aggs, agg_cache)
 
         # Pre-scan: bind all aggregate calls appearing anywhere so that the
@@ -1074,8 +1101,16 @@ class Binder:
         sub_plan, preds = self.decorrelate(sub_plan, outer_cids)
         free = plan_free_cols(sub_plan) & outer_cids
         if free and not _is_trivial_chain(sub_plan):
-            sub_plan, extra = self.general_unnest(plan, sub_plan, free)
-            preds = preds + extra
+            # only correlations the immediate outer plan can supply form the
+            # domain; references to still-deeper query blocks stay free and
+            # are unnested when THAT enclosing subquery is bound (multi-level
+            # nesting, reference: recursive Unnesting.cpp pushdown)
+            avail = {c.cid for node in L.walk_plan(plan)
+                     for c in node.output_cols()}
+            local = free & avail
+            if local:
+                sub_plan, extra = self.general_unnest(plan, sub_plan, local)
+                preds = preds + extra
         return Binder.BoundSub(sub_plan, sub_cols), preds
 
     def general_unnest(self, outer_plan: L.LogicalOp, sub_plan: L.LogicalOp,
@@ -1123,6 +1158,40 @@ class Binder:
             if hasattr(op, "null_aware"):
                 j.null_aware = op.null_aware
             return j
+        if isinstance(op, L.Aggregate):
+            def mcid(c):
+                return m.get(c, c)
+
+            def minfo(ci):
+                if ci.cid in m:
+                    nc = self._col_info[m[ci.cid]]
+                    return ColInfo(nc.cid, ci.name, ci.type)
+                return ci
+            aggs = [L.AggSpec(a.out, a.fn,
+                              None if a.arg is None else mcid(a.arg), a.distinct)
+                    for a in op.aggs]
+            agg = L.Aggregate(ch[0], [mcid(c) for c in op.group_by], aggs,
+                              [minfo(c) for c in op.group_cols])
+            if hasattr(op, "_domain_cids"):
+                agg._domain_cids = {mcid(c) for c in op._domain_cids}
+            return agg
+        if isinstance(op, L.Window):
+            funcs = [L.WindowFn(w.out, w.fn,
+                                None if w.arg is None else m.get(w.arg, w.arg),
+                                w.extra) for w in op.funcs]
+            new = op.replace_children(ch)
+            new.partition_by = [m.get(c, c) for c in op.partition_by]
+            new.order_by = [L.SortKey(m.get(k.cid, k.cid), k.ascending,
+                                      k.nulls_first) for k in op.order_by]
+            new.funcs = funcs
+            return new
+        if isinstance(op, (L.Sort, L.TopK)):
+            new = op.replace_children(ch)
+            new.keys = [L.SortKey(m.get(k.cid, k.cid), k.ascending,
+                                  k.nulls_first) for k in op.keys]
+            return new
+        if isinstance(op, L.Distinct):
+            return L.Distinct(ch[0], [m.get(c, c) for c in op.cids])
         return op.replace_children(ch)
 
     def _push_dj(self, D: L.LogicalOp, dcols: set[int], node: L.LogicalOp) -> L.LogicalOp:
@@ -1136,20 +1205,51 @@ class Binder:
             return L.Map(self._push_dj(D, dcols, node.child), node.computed)
         if isinstance(node, L.Aggregate):
             child = self._push_dj(D, dcols, node.child)
-            extra = [self._col_info[c] for c in sorted(dcols)]
-            return L.Aggregate(
+            extra = [self._col_info[c] for c in sorted(dcols)
+                     if c not in node.group_by]
+            agg = L.Aggregate(
                 child,
                 node.group_by + [c.cid for c in extra],
                 node.aggs,
                 node.group_cols + extra,
             )
+            # track machinery-added group keys: COUNT over an otherwise
+            # global aggregate still coalesces empty groups to 0, while a
+            # user-written GROUP BY yields no row (NULL) — see
+            # _is_count_output (reference: useZeroInsteadOfNull)
+            agg._domain_cids = (set(getattr(node, "_domain_cids", set()))
+                                | {c.cid for c in extra})
+            return agg
         if isinstance(node, L.Join):
             lfree = plan_free_cols(node.left) & dcols
             rfree = plan_free_cols(node.right) & dcols
             pfree = (E.used_cols(node.predicate) & dcols) if node.predicate is not None else set()
             if lfree and rfree:
                 raise BindError("correlation on both sides of a join is not yet unnestable")
-            if rfree:
+            if rfree and node.kind in ("single", "mark", "left", "semi", "anti"):
+                # dependent RIGHT side of a left-preserving join: the left
+                # side must carry the domain too (each left row pairs with
+                # the right rows of ITS domain value, and unmatched left rows
+                # must keep the domain link for the outer equality preds).
+                # Give the right side a fresh domain copy and equate the two
+                # copies in the join predicate (Neumann/Kemper dependent-join
+                # pushdown through preserving joins, Unnesting.cpp analogue).
+                m2: dict[int, int] = {}
+                D2 = self.clone_plan(D, m2)
+                d2cols = {m2[c] for c in dcols}
+                right = self._push_dj(D2, d2cols,
+                                      self._remap_exprs(node.right,
+                                                        {c: m2[c] for c in dcols}))
+                left = self._push_dj(D, dcols, node.left)  # cross(D, left)
+                link = [Call("nseq",
+                             [ColRef(c, self._col_info[c].type),
+                              ColRef(m2[c], self._col_info[c].type)],
+                             Type.bool_(False)) for c in sorted(dcols)]
+                pred = E.make_and(
+                    ([node.predicate] if node.predicate is not None else [])
+                    + link)
+                j = L.Join(node.kind, left, right, pred, node.mark_col)
+            elif rfree:
                 j = L.Join(node.kind, node.left, self._push_dj(D, dcols, node.right), node.predicate, node.mark_col)
             elif lfree or pfree:
                 j = L.Join(node.kind, self._push_dj(D, dcols, node.left), node.right, node.predicate, node.mark_col)
@@ -1235,10 +1335,10 @@ class Binder:
                 out_preds.append(p)
             if unhoistable:
                 child = L.Select(child, E.make_and(unhoistable))
-            return (
-                L.Aggregate(child, new_group, plan.aggs, new_group_cols),
-                out_preds,
-            )
+            agg = L.Aggregate(child, new_group, plan.aggs, new_group_cols)
+            agg._domain_cids = (set(getattr(plan, "_domain_cids", set()))
+                                | (set(new_group) - set(plan.group_by)))
+            return agg, out_preds
         if isinstance(plan, (L.Sort, L.Limit, L.TopK, L.Distinct)):
             child, preds = self.decorrelate(plan.children()[0], outer_cids)
             if preds and isinstance(plan, (L.Limit, L.TopK)):
@@ -1264,6 +1364,12 @@ class Binder:
             if isinstance(x, (A.Exists, A.InSubquery, A.QuantifiedComparison)):
                 found.append(x)
                 return
+            if (post_agg is not None and isinstance(x, A.FuncCall)
+                    and x.over is None
+                    and (x.name in AGG_FNS or (x.name == "count" and x.star))):
+                # subqueries inside aggregate arguments bind below the
+                # Aggregate via agg_collect — don't re-attach them here
+                return
             for f in getattr(x, "__dataclass_fields__", {}):
                 v = getattr(x, f)
                 if isinstance(v, A.Expr):
@@ -1283,6 +1389,16 @@ class Binder:
         repl: dict[int, BExpr] = {}
         for sq in found:
             if isinstance(sq, A.ScalarSubquery):
+                # LIMIT 0: statically empty -> scalar subquery is NULL (bind
+                # once in a throwaway scope only to recover the result type)
+                lim = sq.subquery.limit
+                if (isinstance(lim, A.Literal) and lim.value == 0
+                        and sq.subquery.set_op is None):
+                    _p, cols0 = self.bind_select(sq.subquery, Scope(scope))
+                    if len(cols0) != 1:
+                        raise BindError("scalar subquery must return one column")
+                    repl[id(sq)] = Const(None, cols0[0].type.as_nullable())
+                    continue
                 sub, preds = self.bind_subquery_join(sq.subquery, scope, plan)
                 if len(sub.cols) != 1:
                     raise BindError("scalar subquery must return one column")
@@ -1710,8 +1826,14 @@ def plan_free_cols(plan: L.LogicalOp) -> set[int]:
     defined: set[int] = set()
     used: set[int] = set()
     for node in L.walk_plan(plan):
-        for c in node.output_cols():
-            defined.add(c.cid)
+        if isinstance(node, L.Aggregate):
+            # group columns pass through (same cid): they are definitions
+            # only if some node below defines them — a correlated GROUP BY
+            # outer-column must stay visible as free
+            defined |= {a.out.cid for a in node.aggs}
+        else:
+            for c in node.output_cols():
+                defined.add(c.cid)
         if isinstance(node, L.Scan):
             for r in node.restrictions:
                 used |= E.used_cols(r)
@@ -1722,14 +1844,50 @@ def plan_free_cols(plan: L.LogicalOp) -> set[int]:
                 used |= E.used_cols(e)
         elif isinstance(node, L.Join) and node.predicate is not None:
             used |= E.used_cols(node.predicate)
+        # cid-carrying (non-expression) references: aggregate args, group-by
+        # keys, window specs, sort keys, distinct keys — an aggregate over a
+        # bare outer column (SELECT SUM(i1.i)) references the outer cid here
+        if isinstance(node, L.Aggregate):
+            used |= set(node.group_by)
+            used |= {a.arg for a in node.aggs if a.arg is not None}
+        elif isinstance(node, L.Window):
+            used |= set(node.partition_by)
+            used |= {k.cid for k in node.order_by}
+            used |= {f.arg for f in node.funcs if f.arg is not None}
+        elif isinstance(node, (L.Sort, L.TopK)):
+            used |= {k.cid for k in node.keys}
+        elif isinstance(node, L.Distinct):
+            used |= set(node.cids)
     return used - defined
 
 
 def _is_count_output(plan: L.LogicalOp, cid: int) -> bool:
+    """COUNT subqueries coalesce empty results to 0 — but only when every
+    group key was added by the unnesting machinery; a user-written GROUP BY
+    that produces no group yields NULL (no row), matching the reference."""
     for node in L.walk_plan(plan):
         if isinstance(node, L.Aggregate):
             for a in node.aggs:
                 if a.out.cid == cid and a.fn in ("count", "count_star"):
+                    machine = getattr(node, "_domain_cids", set())
+                    return set(node.group_by) <= set(machine)
+    return False
+
+
+def _ast_has_subquery(e) -> bool:
+    if isinstance(e, (A.ScalarSubquery, A.Exists, A.InSubquery,
+                      A.QuantifiedComparison)):
+        return True
+    for f in getattr(e, "__dataclass_fields__", {}):
+        v = getattr(e, f)
+        if isinstance(v, A.Expr) and _ast_has_subquery(v):
+            return True
+        if isinstance(v, list):
+            for i in v:
+                if isinstance(i, A.Expr) and _ast_has_subquery(i):
+                    return True
+                if isinstance(i, tuple) and any(
+                        isinstance(j, A.Expr) and _ast_has_subquery(j) for j in i):
                     return True
     return False
 

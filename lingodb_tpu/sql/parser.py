@@ -308,10 +308,19 @@ class Parser:
                     pk.append(c.name)
             return A.CreateTableStmt(name, cols, pk)
         if self.accept_kw("index"):
-            # CREATE INDEX is accepted and ignored (reference sqlite-tester skips it)
-            while self.peek().kind != "eof" and not self.at_op(";"):
-                self.next()
-            return A.SetStmt("__ignore__", None)
+            # CREATE INDEX name ON table(col, ...) — hash index
+            # (reference: CREATE INDEX via RelationHelper / IndexCatalogEntry)
+            iname = self.ident()
+            self.expect_kw("on")
+            tname = self.ident()
+            icols: list[str] = []
+            self.expect_op("(")
+            while True:
+                icols.append(self.ident_any())
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+            return A.CreateIndexStmt(iname, tname, icols)
         if self.accept_kw("function"):
             return self.parse_create_function()
         raise ParseError(f"unsupported CREATE at {self.peek().pos}")

@@ -79,8 +79,6 @@ def _run_statement(session, lines, i, parts, stats, stop_on_error):
         stmt_lines.append(lines[i])
         i += 1
     stmt = "\n".join(stmt_lines)
-    if stmt.startswith("CREATE INDEX") or stmt.lower().startswith("create index"):
-        return i
     expect_error = len(parts) > 1 and parts[1] != "ok"
     stats.statements += 1
     try:
@@ -141,7 +139,7 @@ def _run_query(session, lines, i, parts, stats, stop_on_error, verbose):
 
     ok, msg = compare_expected(values, ncols, expected, tsv)
     if not ok:
-        stats.failures.append((description or query, msg))
+        stats.failures.append((query, msg))
         if stop_on_error:
             raise AssertionError(f"{description}\nquery: {query}\n{msg}")
     elif verbose:
@@ -224,3 +222,11 @@ def md5_values(values: list[str]) -> str:
         h.update(v.encode())
         h.update(b"\n")
     return h.hexdigest()
+
+
+if __name__ == "__main__":  # python -m lingodb_tpu.tester.runner file.test [db]
+    import sys as _sys
+
+    from ..tools.cli import sqlite_tester as _t
+
+    _sys.exit(_t(_sys.argv[1:]))

@@ -34,3 +34,26 @@ def test_to_arrow(session):
     assert tbl.num_rows == 2
     assert tbl.column("a").to_pylist() == [1, 2]
     assert tbl.column("b").to_pylist() == ["p", None]
+
+
+def test_hash_index_roundtrip(tmp_path):
+    """CREATE INDEX persists in the catalog and joins through it stay correct
+    (reference: IndexCatalogEntry / LingoDBHashIndex, index-nested-loop joins
+    map to cached direct lookup tables on TPU)."""
+    import lingodb_tpu as ldb
+
+    db = str(tmp_path / "db")
+    os.makedirs(db)
+    s = ldb.connect_to_db(db)
+    s.sql("create table dim (id int, name varchar(5))")
+    s.sql("insert into dim values (1,'a'),(50000,'b'),(3,'c')")
+    s.sql("create index dim_pk on dim(id)")
+    s.sql("create table f (k int, v int)")
+    s.sql("insert into f values (1,10),(50000,20),(3,30),(7,40)")
+    s.close()
+
+    s2 = ldb.connect_to_db(db)
+    assert s2.catalog.get_table("dim").index_on(["id"]) == "dim_pk"
+    r = s2.sql("select d.name, sum(f.v) from f, dim d where f.k=d.id "
+               "group by d.name order by d.name")
+    assert r.format_rows() == [["a", "10"], ["b", "20"], ["c", "30"]]

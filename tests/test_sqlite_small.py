@@ -20,13 +20,13 @@ def test_suite(name, session):
 
 
 def test_unnesting_suite(session):
-    """General unnesting: most of the DuckDB-derived correlated-subquery
-    torture suite passes; the aggregate-over-outer-column family is a known
-    gap (tracked for a later round)."""
+    """General unnesting: the full DuckDB-derived correlated-subquery torture
+    suite (aggregates over outer columns, multi-level nesting, subqueries in
+    aggregate arguments and join conditions, LIMIT 0)."""
     from lingodb_tpu.tester.runner import run_file
 
     stats = run_file(
         session, os.path.join(REF, "unnesting.test"), stop_on_error=False
     )
-    passed = stats.queries - len(stats.failures)
-    assert passed >= 80, f"unnesting regressed: {passed}/{stats.queries} passed"
+    assert stats.queries == 104
+    assert stats.ok, f"unnesting failures: {stats.failures[:5]}"
