@@ -465,9 +465,37 @@ def eval_call(e: Call, env: dict[int, SCol]) -> SCol:
         if call is None:
             raise EvalError(f"UDF {op[4:]} is not compiled")
         n = max((a.data.shape[0] for a in args if a.data.ndim), default=1)
-        host = [np.asarray(jnp.broadcast_to(a.data, (n,))) for a in args]
+        host = []
+        for a in args:
+            h = np.asarray(jnp.broadcast_to(a.data, (n,)))
+            # decode values the Python function expects (reference passes
+            # real PyObjects into sub-interpreters, PythonRuntime.cpp): str
+            # for varchar, datetime.date for DATE, datetime for TIMESTAMP
+            if a.dictionary is not None:
+                codes = np.clip(h.astype(np.int64), 0, len(a.dictionary) - 1)
+                h = np.asarray(a.dictionary, dtype=object)[codes]
+            elif a.type.kind == K.DATE:
+                import datetime as _dt
+
+                epoch = _dt.date(1970, 1, 1)
+                h = np.array([epoch + _dt.timedelta(days=int(d)) for d in h],
+                             dtype=object)
+            elif a.type.kind == K.TIMESTAMP:
+                import datetime as _dt
+
+                epoch = _dt.datetime(1970, 1, 1)
+                h = np.array(
+                    [epoch + _dt.timedelta(microseconds=int(v)) for v in h],
+                    dtype=object)
+            host.append(h)
         out = call(host)
         valid = _and_valid(*args)
+        if e.type.is_string:
+            from ..storage.column import encode_strings
+
+            dct, codes = encode_strings([x if isinstance(x, str) else str(x)
+                                         for x in out])
+            return SCol(e.type, jnp.asarray(codes), valid, dct)
         return SCol(e.type, jnp.asarray(out), valid)
     raise EvalError(f"unknown op {op}")
 

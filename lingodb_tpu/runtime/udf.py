@@ -135,7 +135,8 @@ def make_python_udf(name: str, arg_names: list[str], arg_types: list[Type],
 
     from .vtable import jnp_dtype
 
-    out_dt = np.dtype(jnp_dtype(ret_type))
+    out_dt = (np.dtype(object) if ret_type.is_string
+              else np.dtype(jnp_dtype(ret_type)))
 
     def call(arrays: list[np.ndarray]) -> np.ndarray:
         try:
@@ -143,7 +144,7 @@ def make_python_udf(name: str, arg_names: list[str], arg_types: list[Type],
             out = np.asarray(out)
             if out.shape != arrays[0].shape:
                 raise TypeError
-            return out.astype(out_dt)
+            return out if out_dt == object else out.astype(out_dt)
         except Exception:  # fall back to per-row
             n = len(arrays[0]) if arrays else 0
             out = np.empty(n, dtype=out_dt)

@@ -30,3 +30,17 @@ def test_unnesting_suite(session):
     )
     assert stats.queries == 104
     assert stats.ok, f"unnesting failures: {stats.failures[:5]}"
+
+
+def test_python_udfs_suite(session):
+    """Python-UDF conformance (reference: test/sqlite-small-python/
+    python-udfs.test; string/date arguments decode to Python values, string
+    results dictionary-encode, NULLs short-circuit)."""
+    from lingodb_tpu.tester.runner import run_file
+
+    path = "/root/reference/test/sqlite-small-python/python-udfs.test"
+    if not os.path.exists(path):
+        pytest.skip("reference python-udf suite not present")
+    stats = run_file(session, path, stop_on_error=False)
+    assert stats.queries == 9
+    assert stats.ok, f"python-udf failures: {stats.failures[:5]}"
