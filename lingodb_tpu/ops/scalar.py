@@ -204,30 +204,37 @@ def _round_half_away_f(x):
 
 def _div_shift_exact(a, b, shift: int):
     """round(a * 10^shift / b) exactly in int64, even when a * 10^shift would
-    overflow: chunked long division carrying the remainder 6 digits at a time
-    (valid while |b| < ~9.2e12; larger divisors blend in a float64 result,
-    which is plenty accurate because the quotient is then tiny)."""
+    overflow: chunked long division carrying the remainder k digits at a time.
+    k=6 is exact while |b| <= 2^43 (r*10^6 must not overflow); a digit-at-a-time
+    (k=1) pass covers |b| up to (2^63-1)/10 ~ 9.2e17. Only divisors beyond that
+    (>= 18 digits) blend in a float64 result, where the quotient is tiny."""
     sign = jnp.where((a >= 0) == (b >= 0), 1, -1).astype(jnp.int64)
     aa = jnp.abs(a.astype(jnp.int64))
     bb = jnp.abs(b.astype(jnp.int64))
-    q = jnp.floor_divide(aa, bb)
-    r = aa - q * bb
-    rem = shift
-    while rem > 0:
-        k = min(6, rem)
-        m = 10**k
-        q = q * m + jnp.floor_divide(r * m, bb)
-        r = (r * m) % bb
-        rem -= k
-    q = q + (2 * r >= bb)
-    exact = (q * sign).astype(jnp.int64)
-    big = bb > (1 << 43)  # chunked path unsafe: r*10^6 could overflow
+
+    def longdiv(kmax: int):
+        q = jnp.floor_divide(aa, bb)
+        r = aa - q * bb
+        rem = shift
+        while rem > 0:
+            k = min(kmax, rem)
+            m = 10**k
+            q = q * m + jnp.floor_divide(r * m, bb)
+            r = (r * m) % bb
+            rem -= k
+        return q + (2 * r >= bb)
+
+    out = (longdiv(6) * sign).astype(jnp.int64)
+    big = bb > (1 << 43)  # k=6 unsafe: r*10^6 could overflow
+    if shift > 0:
+        out = jnp.where(big, (longdiv(1) * sign).astype(jnp.int64), out)
+    huge = bb > ((1 << 63) - 1) // 10  # even k=1 unsafe
     if shift <= 18:
         approx = _round_half_away_f(
             (aa.astype(jnp.float64) / bb.astype(jnp.float64)) * (10.0**shift)
         ).astype(jnp.int64) * sign
-        return jnp.where(big, approx, exact)
-    return exact
+        out = jnp.where(huge, approx, out)
+    return out
 
 
 def _cast_from_string(a: SCol, d: Type) -> SCol:
@@ -581,13 +588,20 @@ def _eval_coalesce(cols: list[SCol], t: Type) -> SCol:
 
 
 def _eval_in(args: list[SCol], t: Type) -> SCol:
+    """Three-valued IN: TRUE on any non-null match; NULL when unmatched but
+    some comparison was NULL (NULL probe or NULL list item); else FALSE."""
     v, items = args[0], args[1:]
     acc = None
-    valid = v.valid
+    any_null = None  # per-row: some item comparison evaluated to NULL
     for it in items:
         c = eval_compare("eq", v, it, Type.bool_(True))
-        m = c.data & (c.valid if c.valid is not None else True)
+        if c.valid is not None:
+            m = c.data & c.valid
+            any_null = ~c.valid if any_null is None else (any_null | ~c.valid)
+        else:
+            m = c.data
         acc = m if acc is None else (acc | m)
+    valid = None if any_null is None else (acc | ~any_null)
     return SCol(t, acc, valid)
 
 

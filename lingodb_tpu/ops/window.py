@@ -81,10 +81,19 @@ def run_window(op: L.Window, vt: VTable) -> VTable:
     has_order = bool(op.order_by)
     inv = jnp.zeros((n,), jnp.int64).at[perm].set(pos)  # original row -> sorted pos
 
+    # general frame bounds (inclusive sorted positions per row) for explicit
+    # frame clauses, and for nth_value (which always needs frame endpoints)
+    frame = None
+    explicit = op.frame_start is not None or op.frame_end is not None
+    if explicit or any(f.fn == "nth_value" for f in op.funcs):
+        frame = _frame_bounds(op, vt, perm, seg, pos, part_start, part_end,
+                              pb, ob, has_order, n)
+
     cols = dict(vt.cols)
     for f in op.funcs:
         out_sorted = _compute_fn(f, op, vt, perm, seg, num_parts, pos, pos_in_part,
-                                 part_start, part_end, pb, ob, has_order, n)
+                                 part_start, part_end, pb, ob, has_order, n,
+                                 frame if explicit or f.fn == "nth_value" else None)
         # scatter back to original order
         data = jnp.take(out_sorted.data, inv, axis=0)
         valid = None if out_sorted.valid is None else jnp.take(out_sorted.valid, inv, axis=0)
@@ -118,8 +127,215 @@ def _segmented_scan_minmax(vals, pb, is_min: bool):
     return out
 
 
+def _binsearch(vals, go_right, lo0, hi0, n):
+    """Vectorized per-row binary search over a (segment-wise sorted) array.
+    Returns, per row, the first index in [lo0, hi0+1] where the monotone
+    predicate stops holding; `go_right(v)` True means search right of mid."""
+    lo = lo0
+    hi = hi0 + 1
+    iters = int(np.ceil(np.log2(max(n, 2)))) + 1
+    for _ in range(iters):
+        active = lo < hi
+        mid = (lo + hi) // 2
+        v = jnp.take(vals, jnp.clip(mid, 0, n - 1), axis=0)
+        go = go_right(v)
+        lo = jnp.where(active & go, mid + 1, lo)
+        hi = jnp.where(active & ~go, mid, hi)
+    return lo
+
+
+def _frame_bounds(op: L.Window, vt: VTable, perm, seg, pos, part_start,
+                  part_end, pb, ob, has_order, n):
+    """Inclusive [lo, hi] sorted-position frame bounds per row for ROWS /
+    RANGE / GROUPS frames (reference: rows_between in RelAlgOps.td:257-260;
+    runtime SegmentTreeView.cpp answers the per-row frame aggregate queries).
+    Empty frames are encoded as lo > hi."""
+    ps = jnp.take(part_start, seg)
+    pe = jnp.take(part_end, seg)
+    fs, fe, mode = op.frame_start, op.frame_end, op.frame_mode
+    if fs is None and fe is None:
+        # default frame: RANGE UNBOUNDED PRECEDING .. CURRENT ROW when
+        # ordered (peer-inclusive end), else the whole partition
+        if has_order:
+            return ps, _run_inclusive_end(pos, ob)
+        return ps, pe
+
+    if mode == "rows" or not has_order:
+        # RANGE/GROUPS without ORDER BY: all rows are peers; CURRENT ROW and
+        # UNBOUNDED both span the partition (offsets are rejected by SQL)
+        if mode != "rows":
+            lo = ps if fs in ("unbounded", 0) else pos + int(fs)
+            hi = pe if fe in ("unbounded", 0) else pos + int(fe)
+        else:
+            lo = ps if fs == "unbounded" else pos + int(fs)
+            hi = pe if fe == "unbounded" else pos + int(fe)
+        return jnp.maximum(lo, ps), jnp.minimum(hi, pe)
+
+    if mode == "groups":
+        gidx = jnp.cumsum(ob.astype(jnp.int64)) - 1
+        num_runs = int(gidx[-1]) + 1
+        run_start = be.segment_min(pos, gidx.astype(jnp.int32),
+                                   num_segments=num_runs, indices_are_sorted=True)
+        run_end = be.segment_max(pos, gidx.astype(jnp.int32),
+                                 num_segments=num_runs, indices_are_sorted=True)
+        first_g = jnp.take(gidx, ps)
+        last_g = jnp.take(gidx, pe)
+        glo = first_g if fs == "unbounded" else gidx + int(fs)
+        ghi = last_g if fe == "unbounded" else gidx + int(fe)
+        empty = (ghi < glo) | (ghi < first_g) | (glo > last_g)
+        lo = jnp.take(run_start, jnp.clip(glo, first_g, last_g))
+        hi = jnp.take(run_end, jnp.clip(ghi, first_g, last_g))
+        lo = jnp.where(empty, jnp.ones_like(lo), lo)
+        hi = jnp.where(empty, jnp.zeros_like(hi), hi)
+        return lo, hi
+
+    # RANGE with order: peer-group bounds for CURRENT ROW; value-offset
+    # bounds resolved by per-row binary search over the sorted key values
+    rs = _segmented_scan_last_true(pos, ob)
+    re_ = _run_inclusive_end(pos, ob)
+    lo = hi = None
+    need_search = (isinstance(fs, int) and fs != 0) or (isinstance(fe, int) and fe != 0)
+    if need_search:
+        if len(op.order_by) != 1:
+            raise ValueError("RANGE frame with offset requires exactly one ORDER BY key")
+        k = op.order_by[0]
+        key = vt.col(k.cid)
+        kv = key.take(perm)
+        vals = kv.data
+        scale = 1
+        if key.type.kind == K.DECIMAL and not dec_is_float(key.type):
+            scale = 10 ** key.type.s
+        asc = k.ascending
+        nf = k.nulls_first if k.nulls_first is not None else (not asc)
+        null_mask = None
+        if kv.valid is not None:
+            null_mask = ~kv.valid
+            # sentinel keeps per-partition monotonicity with NULLs at their
+            # sorted end; offset frames of non-NULL rows then exclude NULLs
+            at_small_end = nf == asc  # nulls sort to the small-value end
+            # _neutral(is_min=True) is the +extreme; invert for the sentinel
+            sent = _neutral(vals.dtype, is_min=not at_small_end)
+            vals = jnp.where(null_mask, sent, vals)
+
+        def first_ge(t):  # first idx in partition at-or-past t in sort order
+            if asc:
+                return _binsearch(vals, lambda v: v < t, ps, pe, n)
+            return _binsearch(vals, lambda v: v > t, ps, pe, n)
+
+        def last_le(t):  # last idx in partition at-or-before t in sort order
+            if asc:
+                return _binsearch(vals, lambda v: v <= t, ps, pe, n) - 1
+            return _binsearch(vals, lambda v: v >= t, ps, pe, n) - 1
+
+        if isinstance(fs, int) and fs != 0:
+            t_lo = vals + fs * scale if asc else vals - fs * scale
+            lo = first_ge(t_lo)
+            if null_mask is not None:  # NULL current row: frame = its peers
+                lo = jnp.where(null_mask, rs, lo)
+        if isinstance(fe, int) and fe != 0:
+            t_hi = vals + fe * scale if asc else vals - fe * scale
+            hi = last_le(t_hi)
+            if null_mask is not None:
+                hi = jnp.where(null_mask, re_, hi)
+    if lo is None:
+        lo = ps if fs == "unbounded" else rs
+    if hi is None:
+        hi = pe if fe == "unbounded" else re_
+    return jnp.maximum(lo, ps), jnp.minimum(hi, pe)
+
+
+def _sparse_minmax(x, lo, hi, is_min, n):
+    """O(1)-per-query range min/max via a sparse table (the parallel
+    equivalent of the reference's SegmentTreeView, SegmentTreeView.cpp)."""
+    neutral = _neutral(x.dtype, is_min)
+    comb = jnp.minimum if is_min else jnp.maximum
+    levels = [x]
+    k = 1
+    while k < n:
+        cur = levels[-1]
+        shifted = jnp.concatenate([cur[k:], jnp.full((k,), neutral, x.dtype)])
+        levels.append(comb(cur, shifted[:n]))
+        k *= 2
+    stack = jnp.stack(levels)  # (L, n): level j covers spans of 2^j
+    length = jnp.maximum(hi - lo + 1, 1)
+    j = jnp.clip(
+        jnp.floor(jnp.log2(length.astype(jnp.float64))).astype(jnp.int64),
+        0, len(levels) - 1)
+    loc = jnp.clip(lo, 0, n - 1)
+    hic = jnp.clip(hi - (1 << j).astype(jnp.int64) + 1, 0, n - 1)
+    flat = stack.reshape(-1)
+    a = jnp.take(flat, j * n + loc)
+    b = jnp.take(flat, j * n + jnp.maximum(hic, loc))
+    return comb(a, b)
+
+
+def _finish_avg(s, cnt, t, arg_scale):
+    """Produce AVG output from summed values (at the arg's representation)
+    and non-null counts."""
+    if t.kind == K.DECIMAL and not dec_is_float(t):
+        num = s.astype(jnp.int64) * (10 ** max(t.s - arg_scale, 0))
+        den = jnp.maximum(cnt, 1) * (10 ** max(arg_scale - t.s, 0))
+        q = jnp.sign(num) * ((jnp.abs(num) + den // 2) // den)
+        return SCol(t, q.astype(jnp.int64), cnt > 0)
+    num = s.astype(jnp.float64) / (10.0**arg_scale)
+    return SCol(t, num / jnp.maximum(cnt, 1), cnt > 0)
+
+
+def _frame_agg(f: L.WindowFn, t: Type, arg, arg_sorted, lo, hi, n) -> SCol:
+    """Aggregate / positional window functions over general [lo, hi] frames:
+    sums and counts as differences of prefix sums, min/max via sparse table,
+    first/last/nth_value as endpoint gathers."""
+    fn = f.fn
+    empty = lo > hi
+    if fn == "count_star":
+        return SCol(t, jnp.where(empty, 0, hi - lo + 1), None)
+    vals = arg_sorted.data
+    valid_rows = arg_sorted.valid
+    lo_i = jnp.clip(lo, 0, n)
+    hi_i = jnp.clip(hi + 1, 0, n)
+
+    if fn in ("first_value", "last_value", "nth_value"):
+        if fn == "first_value":
+            idx = lo
+        elif fn == "last_value":
+            idx = hi
+        else:
+            idx = lo + int(f.extra) - 1
+            empty = empty | (idx > hi) | (idx < lo)
+        idx_c = jnp.clip(idx, 0, n - 1)
+        data = jnp.take(vals, idx_c, axis=0)
+        v = jnp.take(valid_rows, idx_c) if valid_rows is not None else jnp.ones((n,), jnp.bool_)
+        return SCol(t, data, v & ~empty, arg_sorted.dictionary)
+
+    cnt_arr = jnp.ones((n,), jnp.int64) if valid_rows is None else valid_rows.astype(jnp.int64)
+    cp = jnp.concatenate([jnp.zeros((1,), jnp.int64), jnp.cumsum(cnt_arr)])
+    cnt = jnp.take(cp, hi_i) - jnp.take(cp, lo_i)
+    cnt = jnp.where(empty, 0, cnt)
+    if fn == "count":
+        return SCol(t, cnt, None)
+    if fn in ("sum", "avg"):
+        x = vals if valid_rows is None else jnp.where(valid_rows, vals, jnp.zeros_like(vals))
+        if x.dtype in (jnp.int32,):
+            x = x.astype(jnp.int64)
+        p = jnp.concatenate([jnp.zeros((1,), x.dtype), jnp.cumsum(x)])
+        s = jnp.take(p, hi_i) - jnp.take(p, lo_i)
+        if fn == "sum":
+            return SCol(t, s, cnt > 0)
+        arg_scale = (arg.type.s
+                     if arg.type.kind == K.DECIMAL and not dec_is_float(arg.type)
+                     else 0)
+        return _finish_avg(s, cnt, t, arg_scale)
+    if fn in ("min", "max"):
+        neutral = _neutral(vals.dtype, fn == "min")
+        x = vals if valid_rows is None else jnp.where(valid_rows, vals, neutral)
+        out = _sparse_minmax(x, lo, hi, fn == "min", n)
+        return SCol(t, out, cnt > 0, arg_sorted.dictionary)
+    raise NotImplementedError(f"window frame aggregate {fn}")
+
+
 def _compute_fn(f: L.WindowFn, op: L.Window, vt: VTable, perm, seg, num_parts,
-                pos, pos_in_part, part_start, part_end, pb, ob, has_order, n) -> SCol:
+                pos, pos_in_part, part_start, part_end, pb, ob, has_order, n,
+                frame=None) -> SCol:
     fn = f.fn
     t = f.out.type
     if fn == "row_number":
@@ -150,6 +366,13 @@ def _compute_fn(f: L.WindowFn, op: L.Window, vt: VTable, perm, seg, num_parts,
     arg = vt.col(f.arg) if f.arg is not None else None
     arg_sorted = None if arg is None else arg.take(perm)
 
+    if frame is not None and fn in (
+        "sum", "avg", "count", "count_star", "min", "max",
+        "first_value", "last_value", "nth_value",
+    ):
+        lo, hi = frame
+        return _frame_agg(f, t, arg, arg_sorted, lo, hi, n)
+
     if fn in ("lead", "lag"):
         off = int(f.extra or 1)
         shift = -off if fn == "lead" else off
@@ -166,21 +389,18 @@ def _compute_fn(f: L.WindowFn, op: L.Window, vt: VTable, perm, seg, num_parts,
         valid = None if arg_sorted.valid is None else jnp.take(arg_sorted.valid, idx)
         return SCol(t, data, valid, arg_sorted.dictionary)
     if fn == "last_value":
-        # default frame: through current row when ordered, else whole partition
-        idx = pos if has_order and op.frame_end is None else jnp.take(part_end, seg)
+        # default frame: through the current row's peer group when ordered
+        # (RANGE ... CURRENT ROW), else the whole partition
+        idx = _run_inclusive_end(pos, ob) if has_order else jnp.take(part_end, seg)
         data = jnp.take(arg_sorted.data, idx, axis=0)
         valid = None if arg_sorted.valid is None else jnp.take(arg_sorted.valid, idx)
         return SCol(t, data, valid, arg_sorted.dictionary)
 
-    # aggregates over the frame
-    # running frames: [unbounded preceding .. current row]. The SQL default
-    # frame (ORDER BY, no explicit frame) is RANGE ... CURRENT ROW, which
-    # includes the whole peer group of the current row; explicit
-    # ROWS ... CURRENT ROW cuts at the current row exactly.
-    running = has_order and op.frame_start in (None, "unbounded") and (
-        op.frame_end is None or op.frame_end == 0)
-    peer_mode = running and (
-        op.frame_end is None or (op.frame_mode == "range" and op.frame_end == 0))
+    # aggregates over the default frame (explicit frames took the general
+    # path above): RANGE UNBOUNDED PRECEDING .. CURRENT ROW when ordered —
+    # a peer-inclusive running frame — else the whole partition
+    running = has_order
+    peer_mode = running
     peer_end = None
     if peer_mode:
         peer_end = _run_inclusive_end(pos, ob)

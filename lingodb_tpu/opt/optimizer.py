@@ -62,9 +62,8 @@ def _push(op: L.LogicalOp, preds: list[BExpr]) -> L.LogicalOp:
             lp, stay = _split(preds, lambda p: E.used_cols(p) <= lcids)
             left = _push(op.left, lp)
             right = _push(op.right, [])
-            j = L.Join(op.kind, left, right, op.predicate, op.mark_col)
-            if hasattr(op, "null_aware"):
-                j.null_aware = op.null_aware
+            j = L.Join(op.kind, left, right, op.predicate, op.mark_col,
+                       op.null_aware)
             return _wrap(j, stay)
         # full outer: nothing pushes
         left = _push(op.left, [])

@@ -145,6 +145,10 @@ class Join(LogicalOp):
     right: LogicalOp
     predicate: Optional[BExpr] = None
     mark_col: Optional[ColInfo] = None
+    # NOT IN semantics: (outer_expr, inner_colref) whose NULLs make the anti
+    # join null-aware (reference: null-aware anti join in RelAlgToSubOp.cpp).
+    # A proper field so rewrites (reorder_joins, decorrelation) preserve it.
+    null_aware: Optional[tuple] = None
 
     def children(self):
         return [self.left, self.right]
@@ -163,7 +167,8 @@ class Join(LogicalOp):
         return lcols + rcols
 
     def replace_children(self, new):
-        return Join(self.kind, new[0], new[1], self.predicate, self.mark_col)
+        return Join(self.kind, new[0], new[1], self.predicate, self.mark_col,
+                    self.null_aware)
 
     def _describe(self):
         return f"Join[{self.kind}] {self.predicate!r}"

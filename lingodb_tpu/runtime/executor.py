@@ -875,15 +875,18 @@ class Executor:
         raise ExecError(f"join kind {kind}")
 
     def _null_aware_fix(self, null_aware, lvt, rvt, keep_mask):
-        """NOT IN semantics: outer NULL -> drop row; any inner NULL -> drop all
-        (reference handles this through nullable comparison semantics in the
-        generated join predicate)."""
+        """NOT IN semantics: with a non-empty inner set, outer NULL -> drop row
+        and any inner NULL -> drop all rows; NOT IN (empty set) is TRUE for
+        every outer row, NULL included (reference handles this through nullable
+        comparison semantics in the generated join predicate)."""
+        if not rvt.num_rows:
+            return keep_mask
         outer_e, inner_ref = null_aware
         outer_c = sc.eval_expr(outer_e, lvt.cols)
         if outer_c.valid is not None:
             keep_mask = keep_mask & outer_c.valid
         inner_c = rvt.cols.get(inner_ref.cid)
-        if inner_c is not None and inner_c.valid is not None and rvt.num_rows:
+        if inner_c is not None and inner_c.valid is not None:
             any_null = jnp.any(~inner_c.valid)
             keep_mask = keep_mask & ~any_null
         return keep_mask

@@ -34,7 +34,7 @@ AGG_FNS = {
 }
 WINDOW_ONLY_FNS = {
     "rank", "dense_rank", "row_number", "lead", "lag", "first_value",
-    "last_value", "ntile", "percent_rank", "cume_dist",
+    "last_value", "nth_value", "ntile", "percent_rank", "cume_dist",
 }
 
 
@@ -952,6 +952,13 @@ class Binder:
                 extra = None
                 if fn == "count" and c.star:
                     fn = "count_star"
+                elif fn == "nth_value":
+                    b = self.bind_post_agg(c.args[0], scope, group_repl, agg_collect)
+                    arg = as_cid(b, "__warg")
+                    arg_t = b.type
+                    from ..ops.consteval import eval_const
+
+                    extra = int(eval_const(self.bind_scalar(c.args[1], Scope()), Type.bigint()))
                 elif fn in ("lead", "lag"):
                     b = self.bind_post_agg(c.args[0], scope, group_repl, agg_collect)
                     arg = as_cid(b, "__warg")
@@ -991,7 +998,8 @@ class Binder:
             if arg_t.kind == K.DECIMAL:
                 return Type.decimal(min(arg_t.p + 10, 38), arg_t.s, True)
             return arg_t.as_nullable()
-        if fn in ("min", "max", "first_value", "last_value", "lead", "lag"):
+        if fn in ("min", "max", "first_value", "last_value", "nth_value",
+                  "lead", "lag"):
             return arg_t.as_nullable()
         raise BindError(f"unknown window function {fn}")
 
@@ -1068,8 +1076,8 @@ class Binder:
             cmp = self.make_cmp("eq", outer_b, ColRef(inner_col.cid, inner_col.type))
             if e.negated:
                 # null-aware anti join (NOT IN semantics): handled by executor
-                j = L.Join("anti", plan, sub.plan, E.make_and([cmp] + preds))
-                j.null_aware = (outer_b, ColRef(inner_col.cid, inner_col.type))
+                j = L.Join("anti", plan, sub.plan, E.make_and([cmp] + preds),
+                           null_aware=(outer_b, ColRef(inner_col.cid, inner_col.type)))
                 return j, None
             return L.Join("semi", plan, sub.plan, E.make_and([cmp] + preds)), None
         if isinstance(e, A.QuantifiedComparison):
@@ -1153,11 +1161,12 @@ class Binder:
         if isinstance(op, L.Map):
             return L.Map(ch[0], [(c, f(e)) for c, e in op.computed])
         if isinstance(op, L.Join):
-            j = L.Join(op.kind, ch[0], ch[1],
-                       None if op.predicate is None else f(op.predicate), op.mark_col)
-            if hasattr(op, "null_aware"):
-                j.null_aware = op.null_aware
-            return j
+            na = op.null_aware
+            if na is not None:
+                na = (f(na[0]), f(na[1]))
+            return L.Join(op.kind, ch[0], ch[1],
+                          None if op.predicate is None else f(op.predicate),
+                          op.mark_col, na)
         if isinstance(op, L.Aggregate):
             def mcid(c):
                 return m.get(c, c)
@@ -1248,15 +1257,13 @@ class Binder:
                 pred = E.make_and(
                     ([node.predicate] if node.predicate is not None else [])
                     + link)
-                j = L.Join(node.kind, left, right, pred, node.mark_col)
+                j = L.Join(node.kind, left, right, pred, node.mark_col, node.null_aware)
             elif rfree:
-                j = L.Join(node.kind, node.left, self._push_dj(D, dcols, node.right), node.predicate, node.mark_col)
+                j = L.Join(node.kind, node.left, self._push_dj(D, dcols, node.right), node.predicate, node.mark_col, node.null_aware)
             elif lfree or pfree:
-                j = L.Join(node.kind, self._push_dj(D, dcols, node.left), node.right, node.predicate, node.mark_col)
+                j = L.Join(node.kind, self._push_dj(D, dcols, node.left), node.right, node.predicate, node.mark_col, node.null_aware)
             else:
                 j = node
-            if hasattr(node, "null_aware"):
-                j.null_aware = node.null_aware
             return j
         if isinstance(node, L.Distinct):
             return L.Distinct(self._push_dj(D, dcols, node.child), node.cids + sorted(dcols))

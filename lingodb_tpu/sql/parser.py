@@ -936,6 +936,8 @@ class Parser:
                     item.ascending = False
                 else:
                     self.accept_kw("asc")
+                if self.accept_kw("nulls"):
+                    item.nulls_first = self.next().value == "first"
                 spec.order_by.append(item)
                 if not self.accept_op(","):
                     break

@@ -230,7 +230,7 @@ def rows_equal(ours: list[list], theirs: list[tuple], ordered: bool,
             if isinstance(v, float):
                 out.append(("f", round(v, 2)))
             elif isinstance(v, (int, np.integer)):
-                out.append(("f", round(float(v), 2)))
+                out.append(("i", int(v)))
             elif v is None:
                 out.append(("n",))
             else:
@@ -244,11 +244,14 @@ def rows_equal(ours: list[list], theirs: list[tuple], ordered: bool,
         b = sorted(b)
 
     def close(x, y):
+        if x[0] == "i" and y[0] == "i":
+            return x[1] == y[1]  # integer columns compare exactly
+        if x[0] in ("i", "f") and y[0] in ("i", "f"):
+            # one side int, other float (type rendering differs): fuzzy
+            fx, fy = float(x[1]), float(y[1])
+            return abs(fx - fy) <= max(abs_tol, rel_tol * max(abs(fx), abs(fy)))
         if x[0] != y[0]:
             return False
-        if x[0] == "f":
-            fx, fy = x[1], y[1]
-            return abs(fx - fy) <= max(abs_tol, rel_tol * max(abs(fx), abs(fy)))
         return x == y
 
     for i, (ra, rb) in enumerate(zip(a, b)):
