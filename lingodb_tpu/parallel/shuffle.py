@@ -1,0 +1,346 @@
+"""Distributed keyed-shuffle execution over the device mesh.
+
+TPU-native equivalent of the reference's compiler-decided state partitioning
+(reference: ParallelizePass.cpp:34-97 decides per shared state between
+thread-local+merge and lock-wrapped access; PreAggregationHashtable.cpp's
+64-partition fragments are the repartition analogue). Here the mesh axis
+replaces worker threads:
+
+  exchange      ragged all-to-all routing each row to shard = dest (usually
+                hash(key) % n). Two phases: an exact per-(src,dst) count
+                program picks the static buffer capacity, then one collective
+                moves the rows. No row is ever dropped (capacity is exact),
+                and no operand is replicated.
+  local join    per-shard sort/searchsorted equi-join over the exchanged rows
+                (equal keys are co-located after the exchange) with a count
+                pass fixing the static pair capacity, all inside shard_map —
+                payload gathers stay on-shard.
+  local groupby per-shard grouping of exchanged rows: after a keyed exchange
+                every group lives on exactly one shard, so the local
+                aggregation is final (no psum / merge needed) — the
+                large-domain counterpart of partial_agg_then_psum.
+
+All programs are jitted once per (mesh, capacity, dtype-signature) and cached.
+Host syncs: one per capacity decision (counts / pair totals) plus the final
+compaction — matching the executor's one-sync-per-size-change contract.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+# observability: how often each shuffle strategy ran (tests assert on these)
+STATS = {"exchanges": 0, "joins": 0, "groupbys": 0, "skew_splits": 0}
+
+_JIT_CACHE: dict = {}
+
+
+def _cached(key, builder):
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = builder()
+        _JIT_CACHE[key] = fn
+    return fn
+
+
+def _axis(mesh) -> str:
+    return mesh.axis_names[0]
+
+
+def shard_put(mesh, arr, n_rows=None):
+    """Pad a 1-D array to a multiple of the mesh axis and row-shard it.
+    Returns (sharded_array, pad_count)."""
+    ax = _axis(mesh)
+    n = mesh.shape[ax]
+    arr = jnp.asarray(arr)
+    rows = arr.shape[0] if n_rows is None else n_rows
+    pad = (-rows) % n
+    if pad:
+        arr = jnp.concatenate([arr, jnp.zeros((pad,) + arr.shape[1:], arr.dtype)])
+    return jax.device_put(arr, NamedSharding(mesh, P(ax))), pad
+
+
+# --------------------------------------------------------------- exchange
+def _counts_fn(mesh):
+    ax = _axis(mesh)
+    n = mesh.shape[ax]
+
+    def local(d, v):
+        dd = jnp.where(v, d.astype(jnp.int32), jnp.int32(n))
+        ds = jnp.sort(dd)
+        bounds = jnp.searchsorted(ds, jnp.arange(n + 1, dtype=jnp.int32))
+        return (bounds[1:] - bounds[:n]).astype(jnp.int32)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(ax), P(ax)), out_specs=P(ax)))
+
+
+def _exchange_fn(mesh, cap, dtypes):
+    ax = _axis(mesh)
+    n = mesh.shape[ax]
+
+    def local(d, v, *cs):
+        m = d.shape[0]
+        dd = jnp.where(v, d.astype(jnp.int32), jnp.int32(n))
+        order = jnp.argsort(dd)
+        ds = jnp.take(dd, order)
+        bounds = jnp.searchsorted(ds, jnp.arange(n + 1, dtype=jnp.int32))
+        starts, cnt = bounds[:n], bounds[1:] - bounds[:n]
+        pos = starts[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+        ok = jnp.arange(cap, dtype=jnp.int32)[None, :] < cnt[:, None]
+        src = jnp.take(order, jnp.clip(pos, 0, m - 1))
+        outs = [jax.lax.all_to_all(ok, ax, 0, 0).reshape(-1)]
+        for c in cs:
+            buf = jnp.where(ok, jnp.take(c, src), jnp.zeros((), c.dtype))
+            outs.append(jax.lax.all_to_all(buf, ax, 0, 0).reshape(-1))
+        return tuple(outs)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(ax),) * (2 + len(dtypes)),
+        out_specs=(P(ax),) * (1 + len(dtypes))))
+
+
+def exchange(mesh, dest, arrays: list, valid=None):
+    """Route rows to shards. dest: per-row destination shard (int); valid:
+    rows to keep (None = all). Returns (out_valid, out_arrays, local_len):
+    sharded arrays of global length n * local_len whose shard-s segment holds
+    the rows routed to shard s (padding marked invalid)."""
+    ax = _axis(mesh)
+    n = mesh.shape[ax]
+    rows = int(dest.shape[0])
+    if valid is None:
+        valid = jnp.ones((rows,), jnp.bool_)
+    d_s, pad = shard_put(mesh, dest)
+    v_s, _ = shard_put(mesh, valid)  # zero-pad = False = dropped
+    counts = np.asarray(jax.device_get(_cached(("cnt", n), lambda: _counts_fn(mesh))(d_s, v_s)))
+    cap = max(int(counts.max()), 1)
+    dtypes = tuple(str(a.dtype) for a in arrays)
+    fn = _cached(("ex", n, cap, dtypes), lambda: _exchange_fn(mesh, cap, dtypes))
+    ins = [shard_put(mesh, a)[0] for a in arrays]
+    out = fn(d_s, v_s, *ins)
+    STATS["exchanges"] += 1
+    return out[0], list(out[1:]), n * cap
+
+
+def hash_dest(mesh, h):
+    """Destination shard for a uint64 hash column."""
+    n = mesh.shape[_axis(mesh)]
+    return (h % jnp.uint64(n)).astype(jnp.int32)
+
+
+def dest_counts(mesh, dest, valid=None):
+    """Per-(source, destination) routed row counts as a host (n, n) matrix —
+    used for skew detection before committing to an exchange."""
+    n = mesh.shape[_axis(mesh)]
+    rows = int(dest.shape[0])
+    if valid is None:
+        valid = jnp.ones((rows,), jnp.bool_)
+    d_s, _ = shard_put(mesh, dest)
+    v_s, _ = shard_put(mesh, valid)
+    counts = np.asarray(jax.device_get(
+        _cached(("cnt", n), lambda: _counts_fn(mesh))(d_s, v_s)))
+    return counts.reshape(n, n)
+
+
+# --------------------------------------------------------------- local join
+def _join_count_fn(mesh):
+    ax = _axis(mesh)
+
+    def local(bh, bv, ph, pv):
+        bh2 = jnp.where(bv, bh, jnp.uint64(_U64_MAX))
+        sb = jnp.sort(bh2)
+        s = jnp.searchsorted(sb, ph, side="left")
+        e = jnp.searchsorted(sb, ph, side="right")
+        cnt = jnp.where(pv, e - s, 0)
+        return jnp.sum(cnt).astype(jnp.int64)[None]
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(ax),) * 4, out_specs=P(ax)))
+
+
+def _join_expand_fn(mesh, cap_out, n_build_payload, n_probe_payload, dtypes):
+    ax = _axis(mesh)
+
+    def local(bh, bv, ph, pv, *payload):
+        bcols = payload[:n_build_payload]
+        pcols = payload[n_build_payload:]
+        mb = bh.shape[0]
+        bh2 = jnp.where(bv, bh, jnp.uint64(_U64_MAX))
+        order = jnp.argsort(bh2)
+        sb = jnp.take(bh2, order)
+        s = jnp.searchsorted(sb, ph, side="left")
+        e = jnp.searchsorted(sb, ph, side="right")
+        cnt = jnp.where(pv, e - s, 0)
+        offs_incl = jnp.cumsum(cnt)
+        offs_excl = offs_incl - cnt
+        total = offs_incl[-1] if cnt.shape[0] else jnp.int64(0)
+        pos = jnp.arange(cap_out, dtype=offs_incl.dtype)
+        probe_of = jnp.searchsorted(offs_incl, pos, side="right")
+        probe_of = jnp.clip(probe_of, 0, cnt.shape[0] - 1)
+        within = pos - jnp.take(offs_excl, probe_of)
+        slot = jnp.take(s, probe_of) + within
+        build_of = jnp.take(order, jnp.clip(slot, 0, mb - 1))
+        in_range = pos < total
+        pair_valid = in_range & jnp.take(bv, build_of) & jnp.take(pv, probe_of)
+        outs = [pair_valid, probe_of.astype(jnp.int64)]
+        for c in bcols:
+            outs.append(jnp.take(c, build_of))
+        for c in pcols:
+            outs.append(jnp.take(c, probe_of))
+        return tuple(outs)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(ax),) * (4 + len(dtypes)),
+        out_specs=(P(ax),) * (2 + len(dtypes))))
+
+
+def join_pairs(mesh, bh, bv, ph, pv, build_payload: list, probe_payload: list):
+    """Per-shard equi-candidate expansion over exchanged sides. Inputs are the
+    sharded arrays produced by exchange(); hashes must already encode NULL-key
+    sentinels. Returns (pair_valid, local_probe_idx, gathered build payload,
+    gathered probe payload, local pair capacity). All gathers are on-shard."""
+    ax = _axis(mesh)
+    n = mesh.shape[ax]
+    totals = np.asarray(jax.device_get(
+        _cached(("jc", n), lambda: _join_count_fn(mesh))(bh, bv, ph, pv)))
+    cap_out = max(int(totals.max()), 1)
+    dtypes = tuple(str(a.dtype) for a in build_payload + probe_payload)
+    fn = _cached(
+        ("jx", n, cap_out, len(build_payload), len(probe_payload), dtypes),
+        lambda: _join_expand_fn(mesh, cap_out, len(build_payload),
+                                len(probe_payload), dtypes))
+    out = fn(bh, bv, ph, pv, *build_payload, *probe_payload)
+    pair_valid, probe_idx = out[0], out[1]
+    nb = len(build_payload)
+    STATS["joins"] += 1
+    return (pair_valid, probe_idx, list(out[2:2 + nb]), list(out[2 + nb:]),
+            cap_out, int(totals.sum()))
+
+
+def _flags_fn(mesh, probe_len):
+    ax = _axis(mesh)
+
+    def local(pair_ok, probe_idx):
+        return jax.ops.segment_max(
+            pair_ok.astype(jnp.int32), probe_idx.astype(jnp.int32),
+            num_segments=probe_len) > 0
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(ax), P(ax)), out_specs=P(ax)))
+
+
+def probe_flags(mesh, pair_ok, probe_idx, probe_local_len):
+    """Per exchanged-probe-row: any passing pair (for semi/anti/mark/left).
+    probe_idx are shard-local indices, so the reduction is shard-local."""
+    n = mesh.shape[_axis(mesh)]
+    fn = _cached(("fl", n, probe_local_len), lambda: _flags_fn(mesh, probe_local_len))
+    return fn(pair_ok, probe_idx)
+
+
+# ------------------------------------------------------------ local groupby
+def _group_fn(mesh, n_imgs, n_reps, agg_descr):
+    """agg_descr: tuple of (kind, dtype_str) with kind in {sum, count, min,
+    max}, each consuming a (vals, valid) input pair. sum/min/max additionally
+    emit the per-group non-null count (for SQL NULL-on-empty semantics)."""
+    ax = _axis(mesh)
+
+    def local(v, *rest):
+        m = v.shape[0]
+        imgs = rest[:n_imgs]
+        reps = rest[n_imgs:n_imgs + n_reps]
+        avs = rest[n_imgs + n_reps:]
+        # sort: invalid rows last, then group keys
+        keys = [jnp.where(v, 0, 1).astype(jnp.int32)] + [
+            jnp.asarray(i) for i in imgs] + [jnp.arange(m, dtype=jnp.int64)]
+        res = jax.lax.sort(keys, num_keys=len(keys))
+        sv = res[0] == 0
+        simgs = res[1:1 + n_imgs]
+        order = res[-1]
+        first = jnp.zeros((m,), jnp.bool_).at[0].set(True)
+        boundary = first
+        for s in simgs:
+            boundary = boundary | jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_), s[1:] != s[:-1]])
+        prev_sv = jnp.concatenate([jnp.zeros((1,), jnp.bool_), sv[:-1]])
+        boundary = (boundary | ~prev_sv) & sv
+        seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+        segc = jnp.clip(seg, 0, m - 1)
+        num_groups = jnp.sum(boundary.astype(jnp.int32))
+        gvalid = jnp.arange(m, dtype=jnp.int32) < num_groups
+        # representative input row per group
+        rowpos = jnp.where(sv, order, jnp.int64(0))
+        rep_row = jax.ops.segment_max(
+            jnp.where(boundary, rowpos, jnp.int64(0)), segc, num_segments=m)
+        outs = [gvalid]
+        for r in reps:
+            outs.append(jnp.take(r, rep_row))
+        ai = 0
+        for kind, _dt in agg_descr:
+            vals, avalid = avs[ai], avs[ai + 1]
+            ai += 2
+            x = jnp.take(vals, order)
+            xv = jnp.take(avalid, order) & sv
+            cnt = jax.ops.segment_sum(xv.astype(jnp.int64), segc, num_segments=m)
+            if kind == "count":
+                outs.append(cnt)
+                continue
+            if kind == "sum":
+                outs.append(jax.ops.segment_sum(
+                    jnp.where(xv, x, jnp.zeros((), x.dtype)), segc, num_segments=m))
+            else:  # min / max
+                xx = x.astype(jnp.int32) if x.dtype == jnp.bool_ else x
+                if jnp.issubdtype(xx.dtype, jnp.floating):
+                    big = jnp.asarray(jnp.inf if kind == "min" else -jnp.inf, xx.dtype)
+                else:
+                    info = jnp.iinfo(xx.dtype)
+                    big = jnp.asarray(info.max if kind == "min" else info.min, xx.dtype)
+                xm = jnp.where(xv, xx, big)
+                red = (jax.ops.segment_min if kind == "min" else jax.ops.segment_max)
+                outs.append(red(xm, segc, num_segments=m))
+            outs.append(cnt)
+        return tuple(outs)
+
+    n_in = 1 + n_imgs + n_reps + 2 * len(agg_descr)
+    n_out = 1 + n_reps + sum(1 if k == "count" else 2 for k, _d in agg_descr)
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(ax),) * n_in, out_specs=(P(ax),) * n_out))
+
+
+def grouped_reduce(mesh, valid, key_imgs: list, rep_cols: list, aggs: list):
+    """Per-shard final grouping of exchanged rows.
+    valid/key_imgs/rep_cols: sharded arrays from exchange(); aggs: list of
+    (kind, vals, valid_mask) with kind in {sum,count,min,max}.
+    Returns (group_valid, rep_cols_out, agg_outs) — padded, sharded; agg_outs
+    entries are (value,) for count and (value, nonnull_count) otherwise."""
+    n = mesh.shape[_axis(mesh)]
+    descr = tuple((k, str(v.dtype)) for k, v, _m in aggs)
+    img_d = tuple(str(i.dtype) for i in key_imgs)
+    rep_d = tuple(str(r.dtype) for r in rep_cols)
+    fn = _cached(("gr", n, img_d, rep_d, descr),
+                 lambda: _group_fn(mesh, len(key_imgs), len(rep_cols), descr))
+    flat = []
+    for _k, v, m in aggs:
+        flat.append(v)
+        flat.append(m)
+    out = fn(valid, *key_imgs, *rep_cols, *flat)
+    gvalid = out[0]
+    reps = list(out[1:1 + len(rep_cols)])
+    rest = list(out[1 + len(rep_cols):])
+    aouts = []
+    i = 0
+    for k, _v, _m in aggs:
+        if k == "count":
+            aouts.append((rest[i],))
+            i += 1
+        else:
+            aouts.append((rest[i], rest[i + 1]))
+            i += 2
+    STATS["groupbys"] += 1
+    return gvalid, reps, aouts

@@ -398,6 +398,25 @@ class Executor:
                 return e.storage.num_rows if e is not None else 0
             return max((subtree_max_rows(c) for c in node.children()), default=0)
 
+        # mesh scale-out: a large-domain group-by must repartition by key over
+        # the mesh (sharded path) instead of the fused program's global sorted
+        # grouping, which GSPMD would gather (reference analogue: partitioned
+        # PreAggregationHashtable instead of one shared table). Dense-domain
+        # keys (dictionary strings / bools) keep the fused psum path.
+        from . import device as dv
+
+        if dv.get_mesh() is not None and op.group_by:
+            from ..utils.settings import get_setting
+
+            types = {c.cid: c.type for c in op.child.output_cols()}
+            dense = all(
+                types[cid].is_string or types[cid].kind == K.BOOL
+                for cid in op.group_by if cid in types
+            )
+            if (not dense and subtree_max_rows(op.child)
+                    >= int(get_setting("system.shuffle_min_rows"))):
+                return None
+
         # spine walk: Select/Map chain, passing through dimension joins whose
         # build side is the smaller subtree (the probe side continues the
         # spine). Each such join becomes a static-shape lookup inside the
@@ -694,6 +713,9 @@ class Executor:
         if fused is not None:
             return fused
         vt = self.run(op.child)
+        sharded = self._try_sharded_agg(op, vt)
+        if sharded is not None:
+            return sharded
         n = vt.num_rows
         key_cols = [vt.col(c) for c in op.group_by]
         if op.group_by:
@@ -793,6 +815,12 @@ class Executor:
                 a, b = _unify_string_keys(a, b)
                 lk.append(sc._bcast(a, nl))
                 rk.append(sc._bcast(b, nr))
+            if (kind in ("inner", "semi", "anti", "left", "mark")
+                    and op.null_aware is None):
+                sharded = self._try_sharded_join(op, kind, lvt, rvt, lk, rk,
+                                                 null_safe)
+                if sharded is not None:
+                    return sharded
             # probe with the left side, build on the right
             pidx, bidx, total = joinops.candidate_pairs(rk, lk, nr, nl, tuple(null_safe))
 
@@ -890,6 +918,217 @@ class Executor:
             any_null = jnp.any(~inner_c.valid)
             keep_mask = keep_mask & ~any_null
         return keep_mask
+
+    # ------------------------------------------------- distributed shuffle
+    def _try_sharded_join(self, op, kind, lvt, rvt, lk, rk, null_safe):
+        """Shuffle join over the device mesh: hash-partition BOTH sides by the
+        join key (ragged all-to-all with exact capacities), then join locally
+        per shard — no side is replicated or gathered (reference: the parallel
+        hash-join state partitioning ParallelizePass.cpp:34-97 decides;
+        PreAggregationHashtable.cpp's 64-way partitions). Returns None when no
+        mesh is active or either side is below system.shuffle_min_rows (the
+        single-program GSPMD broadcast path wins for small build sides)."""
+        from . import device as dv
+        from ..ops import hashing
+        from ..parallel import shuffle as sh
+        from ..utils.settings import get_setting
+
+        mesh = dv.get_mesh()
+        if mesh is None:
+            return None
+        nl, nr = lvt.num_rows, rvt.num_rows
+        if min(nl, nr) < int(get_setting("system.shuffle_min_rows")):
+            return None
+        import jax.numpy as jnx
+
+        if not null_safe:
+            null_safe = (False,) * len(lk)
+        # probe = left, build = right; NULL-key handling matches
+        # joinops.candidate_pairs (strict keys never match; null-safe keys
+        # share the NULL sentinel hash)
+        hp = jnx.asarray(hashing.hash_columns(lk))
+        hb = jnx.asarray(hashing.hash_columns(rk))
+        strict_p = [c for c, ns in zip(lk, null_safe) if not ns]
+        strict_b = [c for c, ns in zip(rk, null_safe) if not ns]
+        pko = joinops._all_valid(strict_p, nl)
+        bko = joinops._all_valid(strict_b, nr)
+        if bko is not None:
+            hb = jnx.where(jnx.asarray(bko), hb, jnx.uint64(0xFFFFFFFFFFFFFFFF))
+        pko = jnx.ones((nl,), jnx.bool_) if pko is None else jnx.asarray(pko)
+
+        playout, parrs = _flatten_vt(lvt)
+        blayout, barrs = _flatten_vt(rvt)
+        n_ax = mesh.shape[mesh.axis_names[0]]
+        dest_p = sh.hash_dest(mesh, hp)
+        dest_b = sh.hash_dest(mesh, hb)
+        valid_b = None
+        # sampled heavy-hitter split: when one shard would receive far more
+        # probe rows than the mean, keys sampled as hot keep their probe rows
+        # local and have their build rows replicated to every shard
+        # (reference analogue: morsel work-stealing rebalances skew,
+        # LingoDBTable.cpp:409-455)
+        skewf = float(get_setting("system.shuffle_skew_factor"))
+        recv = sh.dest_counts(mesh, dest_p).sum(axis=0)
+        if recv.max() > skewf * max(float(recv.mean()), 1.0):
+            step = max(1, nl // (1 << 16))
+            samp = np.asarray(jax.device_get(hp[::step]))
+            vals_u, cnts_u = np.unique(samp, return_counts=True)
+            heavy = vals_u[cnts_u / samp.size > 1.0 / (2 * n_ax)]
+            if heavy.size:
+                sh.STATS["skew_splits"] += 1
+                hj = jnx.asarray(heavy)
+                heavy_p = (hp[:, None] == hj[None, :]).any(axis=1)
+                l1 = (nl + ((-nl) % n_ax)) // n_ax
+                stay = (jnx.arange(nl) // l1).astype(jnx.int32)
+                dest_p = jnx.where(heavy_p, stay, dest_p)
+                heavy_b = (hb[:, None] == hj[None, :]).any(axis=1)
+                nh = int(jnx.sum(heavy_b))
+                if nh:
+                    (hidx,) = jnx.nonzero(heavy_b, size=nh)
+                    rep = jnx.tile(hidx, n_ax)
+                    hb = jnx.concatenate([hb, jnx.take(hb, rep)])
+                    barrs = [jnx.concatenate(
+                        [jnx.asarray(a), jnx.take(jnx.asarray(a), rep, axis=0)])
+                        for a in barrs]
+                    dest_b = jnx.concatenate([
+                        dest_b, jnx.repeat(jnx.arange(n_ax, dtype=jnx.int32), nh)])
+                    valid_b = jnx.concatenate([
+                        ~heavy_b, jnx.ones((nh * n_ax,), jnx.bool_)])
+        pv_ex, pouts, lp = sh.exchange(mesh, dest_p, [hp, pko] + parrs)
+        bv_ex, bouts, _lb = sh.exchange(mesh, dest_b, [hb] + barrs, valid_b)
+        hp_ex, pko_ex = pouts[0], pouts[1]
+        probe_ex = _rebuild_vt(lvt, playout, pouts[2:], n_ax * lp)
+        pair_valid, probe_idx, bpair, ppair, cap_out, total = sh.join_pairs(
+            mesh, bouts[0], bv_ex, hp_ex, pv_ex & pko_ex,
+            bouts[1:], pouts[2:])
+        glen = n_ax * cap_out
+        build_pair = _rebuild_vt(rvt, blayout, bpair, glen)
+        probe_pair = _rebuild_vt(lvt, playout, ppair, glen)
+        # full-predicate verification on the (padded) pairs is elementwise,
+        # so it stays shard-local under GSPMD
+        if op.predicate is not None and total > 0:
+            env = {**build_pair.cols, **probe_pair.cols}
+            m = sc.truth_mask(sc.eval_expr(op.predicate, env))
+            pair_ok = pair_valid & jnx.broadcast_to(m, (glen,))
+        else:
+            pair_ok = pair_valid
+        if kind == "inner":
+            out = VTable({**probe_pair.cols, **build_pair.cols}, glen)
+            return out.select_mask(pair_ok)
+        flags = sh.probe_flags(mesh, pair_ok, probe_idx, lp)
+        if kind == "semi":
+            return probe_ex.select_mask(flags & pv_ex)
+        if kind == "anti":
+            return probe_ex.select_mask(~flags & pv_ex)
+        if kind == "mark":
+            cols = dict(probe_ex.cols)
+            cols[op.mark_col.cid] = SCol(op.mark_col.type, flags, None)
+            return VTable(cols, n_ax * lp).select_mask(pv_ex)
+        # left join: matched pairs + unmatched probe rows with NULL right cols
+        inner = VTable({**probe_pair.cols, **build_pair.cols}, glen).select_mask(pair_ok)
+        unmatched = probe_ex.select_mask(~flags & pv_ex)
+        if unmatched.num_rows == 0:
+            return inner
+        cols = dict(unmatched.cols)
+        for c in op.right.output_cols():
+            cols[c.cid] = _null_scol(rvt.col(c.cid), unmatched.num_rows)
+        return _vconcat(inner, VTable(cols, unmatched.num_rows), op.output_cols())
+
+    _SHARDED_AGG_FNS = {"sum", "count", "count_star", "min", "max"}
+
+    def _try_sharded_agg(self, op: L.Aggregate, vt: VTable) -> Optional[VTable]:
+        """Large-domain distributed aggregation: repartition rows by group-key
+        hash, group locally per shard — every group lands on exactly one shard
+        so the local result is final, with no psum over the whole domain
+        (reference: partitioned PreAggregationHashtable merge,
+        PreAggregationHashtable.cpp). Dense small domains keep the cheaper
+        partial-aggregate + psum path."""
+        from . import device as dv
+        from ..parallel import shuffle as sh
+        from ..ops import hashing
+        from ..utils.settings import get_setting
+
+        mesh = dv.get_mesh()
+        if mesh is None or not op.group_by:
+            return None
+        n = vt.num_rows
+        if n < int(get_setting("system.shuffle_min_rows")):
+            return None
+        for spec in op.aggs:
+            if spec.distinct or spec.fn not in self._SHARDED_AGG_FNS:
+                return None
+        key_cols = [vt.col(c) for c in op.group_by]
+        if gb.dense_gid(key_cols)[0] is not None:
+            return None  # small dense domain: psum partial-agg path is cheaper
+        import jax.numpy as jnx
+
+        imgs = [jnx.broadcast_to(jnx.asarray(x), (n,))
+                for x in keymod.grouping_images(key_cols)]
+        h = jnx.asarray(hashing.hash_columns(key_cols))
+        rep_layout, rep_arrays = _flatten_vt(
+            VTable({c.cid: vt.col(c.cid) for c in op.group_cols}, n))
+        aggs_in = []  # (kind, vals, valid)
+        for spec in op.aggs:
+            arg = None if spec.arg is None else vt.col(spec.arg)
+            av = (jnx.ones((n,), jnx.bool_) if arg is None or arg.valid is None
+                  else jnx.asarray(arg.valid))
+            if spec.fn in ("count", "count_star"):
+                aggs_in.append(("count", jnx.ones((n,), jnx.int64), av))
+            elif spec.fn == "sum":
+                vals = jnx.asarray(arg.data).astype(jnp_dtype(spec.out.type))
+                aggs_in.append(("sum", vals, av))
+            else:  # min / max
+                aggs_in.append((spec.fn, jnx.asarray(arg.data), av))
+
+        # round 1: local pre-aggregation on the existing row sharding — the
+        # ThreadLocal combiner (reference: per-thread PreAggregationHashtable
+        # fragments). Makes the exchange volume proportional to local group
+        # counts, which also makes it skew-proof (a hot key contributes one
+        # partial row per shard, not its full row count).
+        v1 = sh.shard_put(mesh, jnx.ones((n,), jnx.bool_))[0]
+        imgs1 = [sh.shard_put(mesh, x)[0] for x in imgs]
+        reps1 = [sh.shard_put(mesh, x)[0] for x in [h] + imgs + rep_arrays]
+        aggs1 = [(k, sh.shard_put(mesh, v)[0], sh.shard_put(mesh, m)[0])
+                 for k, v, m in aggs_in]
+        gv1, reps_o1, agg_o1 = sh.grouped_reduce(mesh, v1, imgs1, reps1, aggs1)
+        h1 = reps_o1[0]
+        imgs_p = reps_o1[1:1 + len(imgs)]
+        reps_p = reps_o1[1 + len(imgs):]
+
+        # round 2: exchange partial groups by key hash, final local grouping
+        aggs2 = []  # parallel to op.aggs: (main_idx, cnt_idx or None)
+        flat2 = []
+        for (k, _v, _m), res in zip(aggs_in, agg_o1):
+            if k == "count":
+                aggs2.append((len(flat2), None))
+                flat2.append(("sum", res[0], gv1))
+            else:
+                val, cnt = res
+                aggs2.append((len(flat2), len(flat2) + 1))
+                flat2.append((k, val, gv1 & (cnt > 0)))
+                flat2.append(("sum", cnt, gv1))
+        arrays2 = list(imgs_p) + list(reps_p) + [a for _k, v, m in flat2 for a in (v, m)]
+        dest2 = sh.hash_dest(mesh, h1)
+        ex_valid, outs, _lp = sh.exchange(mesh, dest2, arrays2, gv1)
+        ni, nr_ = len(imgs), len(rep_arrays)
+        flat2_ex = [(k, outs[ni + nr_ + 2 * i], outs[ni + nr_ + 2 * i + 1])
+                    for i, (k, _v, _m) in enumerate(flat2)]
+        gvalid, reps_out, agg_out = sh.grouped_reduce(
+            mesh, ex_valid, outs[:ni], outs[ni:ni + nr_], flat2_ex)
+        glen = gvalid.shape[0]
+        cols = dict(_rebuild_vt(vt, rep_layout, reps_out, glen).cols)
+        for spec, (mi, ci) in zip(op.aggs, aggs2):
+            arg = None if spec.arg is None else vt.col(spec.arg)
+            if spec.fn in ("count", "count_star"):
+                cols[spec.out.cid] = SCol(spec.out.type, agg_out[mi][0], None)
+                continue
+            val = agg_out[mi][0]
+            cnt = agg_out[ci][0]
+            if jnp_dtype(spec.out.type) == jnp.bool_:
+                val = val > 0
+            dic = arg.dictionary if spec.fn in ("min", "max") else None
+            cols[spec.out.cid] = SCol(spec.out.type, val, cnt > 0, dic)
+        return VTable(cols, glen).select_mask(gvalid)
 
     def _cross(self, lvt: VTable, rvt: VTable) -> VTable:
         nl, nr = lvt.num_rows, rvt.num_rows
@@ -1233,6 +1472,33 @@ def _empty_like(c: SCol) -> SCol:
 def _empty_scol(t: Type) -> SCol:
     return SCol(t, jnp.zeros((0,), jnp_dtype(t)), None,
                 np.zeros(0, dtype=object) if t.is_string else None)
+
+
+def _flatten_vt(vt: VTable):
+    """VTable -> (layout, flat array list) for the shuffle exchange; rebuild
+    with _rebuild_vt using the same layout."""
+    layout, arrays = [], []
+    for cid, c in vt.cols.items():
+        layout.append((cid, c.valid is not None))
+        arrays.append(c.data)
+        if c.valid is not None:
+            arrays.append(c.valid)
+    return layout, arrays
+
+
+def _rebuild_vt(src: VTable, layout, arrays, n: int) -> VTable:
+    cols = {}
+    i = 0
+    for cid, hasv in layout:
+        t = src.cols[cid]
+        data = arrays[i]
+        i += 1
+        valid = None
+        if hasv:
+            valid = arrays[i]
+            i += 1
+        cols[cid] = SCol(t.type, data, valid, t.dictionary)
+    return VTable(cols, n)
 
 
 def _vconcat(a: VTable, b: VTable, out_cols) -> VTable:

@@ -82,3 +82,9 @@ JOIN_ORDER = Setting("system.join_order", True, bool)
 # device-capacity knobs (no reference equivalent; TPU static-shape engine)
 CAPACITY_SLACK = Setting("system.capacity_slack", 1.25, float)
 MIN_CAPACITY = Setting("system.min_capacity", 128, int)
+# distributed shuffle: minimum rows on BOTH sides before a join/aggregation
+# repartitions by key over the mesh instead of relying on GSPMD placement
+SHUFFLE_MIN_ROWS = Setting("system.shuffle_min_rows", 1 << 16, int)
+# skew: a destination shard receiving more than this multiple of the mean
+# triggers the sampled heavy-hitter split (reference analogue: work stealing)
+SHUFFLE_SKEW_FACTOR = Setting("system.shuffle_skew_factor", 4.0, float)
