@@ -15,12 +15,25 @@ from ..plan.exprs import BExpr
 
 
 def optimize(plan: L.LogicalOp, catalog) -> L.LogicalOp:
+    # shared subtrees (Tmp holders) optimize exactly once; they are leaves to
+    # the per-reference rewrites below (reference: IntroduceTmp keeps the
+    # materialized tree out of later per-use rewrites, Passes.cpp:47)
+    for node in L.walk_plan(plan):
+        if isinstance(node, L.Tmp) and not node.holder.optimized:
+            node.holder.optimized = True
+            node.holder.plan = optimize(node.holder.plan, catalog)
     plan = decorrelate_lateral(plan)
     plan = pushdown(plan)
     plan = fold_scan_restrictions(plan)
     from .joinorder import reorder_joins
 
     plan = reorder_joins(plan, catalog)
+    # LAST: collapse alpha-equivalent duplicated subtrees (CTE/view clones)
+    # onto shared Tmp materializations (reference: CommonSubtreeElimination +
+    # IntroduceTmp, Passes.cpp:46-47)
+    from .cse import eliminate_common_subtrees
+
+    plan = eliminate_common_subtrees(plan)
     return plan
 
 

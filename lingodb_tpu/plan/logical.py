@@ -387,6 +387,55 @@ class Distinct(LogicalOp):
         return Distinct(new[0], self.cids)
 
 
+class TmpHolder:
+    """Shared-subtree holder: every Tmp reference to one shared subtree
+    points at the same holder, so optimization and execution through it
+    happen exactly once (reference: relalg.tmp materialization target,
+    RelAlgOps.td:499)."""
+
+    __slots__ = ("plan", "optimized", "seq")
+    _counter = 0
+
+    def __init__(self, plan: Optional[LogicalOp]):
+        self.plan = plan
+        self.optimized = False
+        TmpHolder._counter += 1
+        self.seq = TmpHolder._counter
+
+
+@dataclass
+class Tmp(LogicalOp):
+    """Reference to a materialized shared subtree (reference: relalg.tmp,
+    RelAlgOps.td:499; IntroduceTmp + CommonSubtreeElimination passes).
+    Presents as a LEAF to rewrite passes (children() == []) so per-reference
+    rewrites cannot diverge the shared plan; each reference renames the
+    holder's output columns to fresh cids via `mapping`."""
+
+    holder: TmpHolder
+    mapping: list[tuple[int, ColInfo]]  # (cid in holder plan, output col)
+
+    def children(self):
+        return []
+
+    def output_cols(self):
+        return [c for _s, c in self.mapping]
+
+    def replace_children(self, new):
+        assert not new
+        return self
+
+    def _describe(self):
+        return (f"Tmp@{self.holder.seq} "
+                f"{[(s, c.cid) for s, c in self.mapping]}")
+
+    def pretty(self, indent: int = 0) -> str:
+        pad = "  " * indent
+        lines = [pad + self._describe()]
+        if self.holder.plan is not None:
+            lines.append(self.holder.plan.pretty(indent + 1))
+        return "\n".join(lines)
+
+
 def walk_plan(op: LogicalOp):
     yield op
     for c in op.children():

@@ -51,6 +51,9 @@ def plan_key(op: L.LogicalOp) -> str:
         parts.extend(f"{f.out.cid}={f.fn}({f.arg},{f.extra})" for f in op.funcs)
     elif isinstance(op, L.Materialize):
         parts.append(repr(op.cids))
+    elif isinstance(op, L.Tmp):
+        parts.append(plan_key(op.holder.plan))
+        parts.append(repr([(s, c.cid) for s, c in op.mapping]))
     children = ";".join(plan_key(c) for c in op.children())
     return "(" + " ".join(parts) + (("|" + children) if children else "") + ")"
 
@@ -67,22 +70,31 @@ from ..sql.types import IntervalUnit, Type
 from . import exprs as E
 
 
-def _enc(v):
+def _enc(v, memo=None):
     if isinstance(v, Type):
         from ..catalog.catalog import type_to_json
 
         return {"$type": type_to_json(v)}
     if isinstance(v, IntervalUnit):
         return {"$unit": v.value}
+    if isinstance(v, L.TmpHolder):
+        # shared holders serialize once; later references point back by index
+        if memo is None:
+            memo = {}
+        if id(v) in memo:
+            return {"$tmpref": memo[id(v)]}
+        idx = len(memo)
+        memo[id(v)] = idx
+        return {"$tmpholder": idx, "plan": _enc(v.plan, memo)}
     if dataclasses.is_dataclass(v) and not isinstance(v, type):
         d = {"$cls": type(v).__name__}
         for f in dataclasses.fields(v):
-            d[f.name] = _enc(getattr(v, f.name))
+            d[f.name] = _enc(getattr(v, f.name), memo)
         return d
     if isinstance(v, tuple):
-        return {"$tuple": [_enc(i) for i in v]}
+        return {"$tuple": [_enc(i, memo) for i in v]}
     if isinstance(v, list):
-        return [_enc(i) for i in v]
+        return [_enc(i, memo) for i in v]
     if hasattr(v, "item") and not isinstance(v, (bool, int, float, str)):
         return v.item()  # numpy scalar
     return v
@@ -101,7 +113,7 @@ def _registry():
 _REG = None
 
 
-def _dec(v):
+def _dec(v, memo=None):
     global _REG
     if isinstance(v, dict):
         if "$type" in v:
@@ -110,23 +122,32 @@ def _dec(v):
             return type_from_json(v["$type"])
         if "$unit" in v:
             return IntervalUnit(v["$unit"])
+        if "$tmpholder" in v:
+            if memo is None:
+                memo = {}
+            holder = L.TmpHolder(None)
+            memo[v["$tmpholder"]] = holder
+            holder.plan = _dec(v["plan"], memo)
+            return holder
+        if "$tmpref" in v:
+            return memo[v["$tmpref"]]
         if "$tuple" in v:
-            return tuple(_dec(i) for i in v["$tuple"])
+            return tuple(_dec(i, memo) for i in v["$tuple"])
         if "$cls" in v:
             if _REG is None:
                 _REG = _registry()
             cls = _REG[v["$cls"]]
-            kwargs = {k: _dec(x) for k, x in v.items() if k != "$cls"}
+            kwargs = {k: _dec(x, memo) for k, x in v.items() if k != "$cls"}
             return cls(**kwargs)
-        return {k: _dec(x) for k, x in v.items()}
+        return {k: _dec(x, memo) for k, x in v.items()}
     if isinstance(v, list):
-        return [_dec(i) for i in v]
+        return [_dec(i, memo) for i in v]
     return v
 
 
 def plan_to_json(op: L.LogicalOp) -> str:
-    return _json.dumps(_enc(op))
+    return _json.dumps(_enc(op, {}))
 
 
 def plan_from_json(s: str) -> L.LogicalOp:
-    return _dec(_json.loads(s))
+    return _dec(_json.loads(s), {})

@@ -47,11 +47,15 @@ class Executor:
 
     def __init__(self, session):
         self.session = session
+        # shared-subtree results, valid for one plan execution
+        # (reference: the materialized relalg.tmp buffer, RelAlgOps.td:499)
+        self._tmp_results: dict[int, VTable] = {}
 
     # ------------------------------------------------------------- dispatch
     def execute(self, plan: L.Materialize) -> ResultTable:
         from . import device as dv
 
+        self._tmp_results.clear()
         with tracer.Trace("execution", "run_plan"):
             vt = self.run(plan.child)
         # ONE packed device->host transfer for the whole result
@@ -168,6 +172,17 @@ class Executor:
     def _run_materialize(self, op: L.Materialize) -> VTable:
         return self.run(op.child)
 
+    def _run_tmp(self, op: L.Tmp) -> VTable:
+        """Materialize the shared subtree ONCE per execution; every Tmp
+        reference renames the holder's columns to its own cids (reference:
+        relalg.tmp / GetLocal lowering, RelAlgToSubOp.cpp)."""
+        vt = self._tmp_results.get(id(op.holder))
+        if vt is None:
+            vt = self.run(op.holder.plan)
+            self._tmp_results[id(op.holder)] = vt
+        cols = {c.cid: vt.col(s) for s, c in op.mapping}
+        return VTable(cols, vt.num_rows)
+
     # ---------------------------------------------------- fused agg pipeline
     # Scan -> Select/Map chain -> Aggregate compiles into ONE jitted device
     # program using masked aggregation (no intermediate compaction). This is
@@ -182,6 +197,8 @@ class Executor:
                 e = self.session.catalog.get_table(x.table)
                 if e is not None:
                     out.append((x.table, e.storage.version))
+            if isinstance(x, L.Tmp):
+                walk(x.holder.plan)
             for c in x.children():
                 walk(c)
 
@@ -396,6 +413,8 @@ class Executor:
             if isinstance(node, L.Scan):
                 e = self.session.catalog.get_table(node.table)
                 return e.storage.num_rows if e is not None else 0
+            if isinstance(node, L.Tmp):
+                return subtree_max_rows(node.holder.plan)
             return max((subtree_max_rows(c) for c in node.children()), default=0)
 
         # mesh scale-out: a large-domain group-by must repartition by key over

@@ -12,7 +12,8 @@ from dataclasses import dataclass
 KEYWORDS = {
     # statement heads
     "select", "insert", "update", "delete", "create", "drop", "copy", "set",
-    "with", "values", "table", "index", "function", "returns", "language",
+    "with", "values", "table", "view", "index", "function", "returns",
+    "language",
     # clauses
     "from", "where", "group", "by", "having", "order", "limit", "offset",
     "union", "intersect", "except", "all", "distinct", "as", "on", "using",
