@@ -14,7 +14,21 @@ from ..plan import logical as L
 from ..plan.exprs import BExpr
 
 
+# (pass_name, plan.pretty()) pairs for the most recent optimize() call when
+# system.snapshot_passes is on (reference: per-pass IR snapshots,
+# src/execution/Instrumentation.cpp:29-80)
+last_pass_snapshots: list[tuple[str, str]] = []
+
+
 def optimize(plan: L.LogicalOp, catalog) -> L.LogicalOp:
+    """Run the logical pass pipeline (reference order: Passes.cpp:17-50).
+
+    `system.opt` (LINGODB_OPT) restricts to a comma-separated subset of pass
+    names; `system.snapshot_passes` records the plan after every pass into
+    `last_pass_snapshots` and writes snapshot-<N>-<pass>.plan files under
+    `system.snapshot_dir` (reference: Instrumentation.cpp snapshots)."""
+    from ..utils import settings
+
     # shared subtrees (Tmp holders) optimize exactly once; they are leaves to
     # the per-reference rewrites below (reference: IntroduceTmp keeps the
     # materialized tree out of later per-use rewrites, Passes.cpp:47)
@@ -22,18 +36,47 @@ def optimize(plan: L.LogicalOp, catalog) -> L.LogicalOp:
         if isinstance(node, L.Tmp) and not node.holder.optimized:
             node.holder.optimized = True
             node.holder.plan = optimize(node.holder.plan, catalog)
-    plan = decorrelate_lateral(plan)
-    plan = pushdown(plan)
-    plan = fold_scan_restrictions(plan)
-    from .joinorder import reorder_joins
 
-    plan = reorder_joins(plan, catalog)
-    # LAST: collapse alpha-equivalent duplicated subtrees (CTE/view clones)
-    # onto shared Tmp materializations (reference: CommonSubtreeElimination +
-    # IntroduceTmp, Passes.cpp:46-47)
+    from .constraints import expand_transitive_equalities, reduce_group_keys
     from .cse import eliminate_common_subtrees
+    from .joinorder import reorder_joins
+    from .prune import prune_columns
 
-    plan = eliminate_common_subtrees(plan)
+    passes = [
+        ("decorrelate-lateral", lambda p: decorrelate_lateral(p)),
+        ("pushdown", pushdown),
+        # implied a=c edges from a=b, b=c: extra Selects that the following
+        # pushdown sinks into join predicates (new edges for join ordering)
+        ("expand-transitive-equalities", expand_transitive_equalities),
+        ("pushdown", pushdown),
+        ("fold-scan-restrictions", fold_scan_restrictions),
+        ("reduce-group-by-keys", lambda p: reduce_group_keys(p, catalog)),
+        ("join-order", lambda p: reorder_joins(p, catalog)),
+        # collapse alpha-equivalent duplicated subtrees (CTE/view clones) onto
+        # shared Tmp materializations (reference: CommonSubtreeElimination +
+        # IntroduceTmp, Passes.cpp:46-47)
+        ("cse", eliminate_common_subtrees),
+        # LAST: drop dead columns (after cse so holder requirements union)
+        ("column-folding", prune_columns),
+    ]
+    only = {s.strip() for s in settings.OPT_PASSES.get().split(",") if s.strip()}
+    snapshot = settings.SNAPSHOT_PASSES.get()
+    snaps = [("input", plan.pretty())] if snapshot else None
+    for name, fn in passes:
+        if only and name not in only:
+            continue
+        plan = fn(plan)
+        if snaps is not None:
+            snaps.append((name, plan.pretty()))
+    if snaps is not None:
+        global last_pass_snapshots
+        last_pass_snapshots = snaps
+        import os
+
+        d = settings.SNAPSHOT_DIR.get() or "."
+        for i, (name, text) in enumerate(snaps):
+            with open(os.path.join(d, f"snapshot-{i}-{name}.plan"), "w") as f:
+                f.write(text + "\n")
     return plan
 
 
