@@ -37,6 +37,7 @@ def optimize(plan: L.LogicalOp, catalog) -> L.LogicalOp:
             node.holder.optimized = True
             node.holder.plan = optimize(node.holder.plan, catalog)
 
+    from .aggrewrites import eager_aggregation, split_distinct_aggregates
     from .constraints import expand_transitive_equalities, reduce_group_keys
     from .cse import eliminate_common_subtrees
     from .joinorder import reorder_joins
@@ -51,6 +52,10 @@ def optimize(plan: L.LogicalOp, catalog) -> L.LogicalOp:
         ("pushdown", pushdown),
         ("fold-scan-restrictions", fold_scan_restrictions),
         ("reduce-group-by-keys", lambda p: reduce_group_keys(p, catalog)),
+        # groupjoin: push aggregation through a unique-key join (the fused
+        # pipeline then compiles segment-reduction + unique-key lookup)
+        ("eager-aggregation", lambda p: eager_aggregation(p, catalog)),
+        ("split-distinct-aggregates", split_distinct_aggregates),
         ("join-order", lambda p: reorder_joins(p, catalog)),
         # collapse alpha-equivalent duplicated subtrees (CTE/view clones) onto
         # shared Tmp materializations (reference: CommonSubtreeElimination +

@@ -241,7 +241,39 @@ class Executor:
         probe_cids = lcids if build_is_right else rcids
         build_cids = rcids if build_is_right else lcids
         if jop.predicate is None:
-            return None
+            if jop.kind != "single":
+                return None
+            # scalar-subquery broadcast: the build side is a 1-row relation
+            # (global aggregate); its values broadcast to every probe row
+            # (reference: GetScalarOp lowering via a single join,
+            # SimplifyAggregations.cpp WrapAggrFuncPattern)
+            bvt = self.run(build_plan)
+            if bvt.num_rows > 1:
+                return None
+            import jax as _jax
+
+            needed = self._agg_subtree_used_cids(agg_op) & build_cids
+            payloads, arrays = [], []
+            present = bvt.num_rows == 1
+            for cid in sorted(needed):
+                c = bvt.col(cid)
+                data = np.asarray(_jax.device_get(c.data))[:1]
+                if not present:
+                    data = np.zeros((1,), data.dtype)
+                valid = None
+                if c.valid is not None:
+                    valid = (np.asarray(_jax.device_get(c.valid))[:1]
+                             if present else np.zeros((1,), bool))
+                arrays.append(data)
+                if valid is not None:
+                    arrays.append(valid)
+                payloads.append((cid, c.type, valid is not None, c.dictionary))
+            return {
+                "kind": "single_broadcast",
+                "present": present,
+                "payloads": payloads,
+                "arrays": arrays,
+            }
         conjs = E.conjuncts(jop.predicate)
         pairs = []
         residual = []
@@ -406,7 +438,11 @@ class Executor:
 
         if any(a.distinct for a in op.aggs):
             return None
-        if any(a.fn not in ("sum", "count", "count_star", "min", "max") for a in op.aggs):
+        # any_value evaluates as a max-reduction: within a group the value is
+        # either genuinely arbitrary (SQL any_value) or constant (FD-reduced
+        # group keys recovered by reduce_group_keys), so any reduction works
+        if any(a.fn not in ("sum", "count", "count_star", "min", "max",
+                            "any_value") for a in op.aggs):
             return None
 
         def subtree_max_rows(node):
@@ -450,10 +486,10 @@ class Executor:
                 cur = cur.children()[0]
                 continue
             if (isinstance(cur, L.Join)
-                    and cur.kind in ("inner", "semi", "anti", "left")
+                    and cur.kind in ("inner", "semi", "anti", "left", "single")
                     and getattr(cur, "null_aware", None) is None):
                 lrows, rrows = subtree_max_rows(cur.left), subtree_max_rows(cur.right)
-                if cur.kind in ("semi", "anti", "left"):
+                if cur.kind in ("semi", "anti", "left", "single"):
                     spine, build = cur.left, cur.right  # semantics fix sides
                 elif lrows >= rrows:
                     spine, build = cur.left, cur.right
@@ -463,20 +499,34 @@ class Executor:
                 cur = spine
                 continue
             break
-        if not isinstance(cur, L.Scan):
-            return None
-        scan = cur
         steps.reverse()
-        entry = self.session.catalog.get_table(scan.table)
-        if entry.storage.num_rows == 0:
-            return None
-        dev = self.session.device_table(scan.table)
-        n = dev["__num_rows__"]  # includes mesh padding rows
         from . import device as dv
 
-        if n < dv.SMALL_ROWS:
-            return None  # jit compile cost exceeds eager cost on tiny tables
-        pad_mask = dev["__pad_mask__"]
+        if isinstance(cur, L.Scan):
+            scan = cur
+            entry = self.session.catalog.get_table(scan.table)
+            if entry.storage.num_rows == 0:
+                return None
+            dev = self.session.device_table(scan.table)
+            n = dev["__num_rows__"]  # includes mesh padding rows
+            if n < dv.SMALL_ROWS:
+                return None  # jit compile cost exceeds eager cost on tiny tables
+            pad_mask = dev["__pad_mask__"]
+            base_cols = [(c.cid, dev[c.name]) for c in scan.cols]
+            base_restrictions = scan.restrictions
+        else:
+            # materialized spine base: the subtree under the Select/Map/join
+            # chain (a shared Tmp, a finished aggregate, ...) executes eagerly
+            # ONCE and its columns feed the fused program like a scan — the
+            # analogue of the reference scanning a pipeline breaker's result
+            # buffer in the next pipeline (SubOpToControlFlow state scans)
+            base_vt = self.run(cur)
+            n = base_vt.num_rows
+            if n < dv.SMALL_ROWS:
+                return None
+            pad_mask = None
+            base_cols = sorted(base_vt.cols.items())
+            base_restrictions = []
         versions = tuple(sorted(self._subtree_versions(op)))
         key = ("fused_agg", plan_key(op), versions)
         cache = self.session.stage_cache
@@ -501,7 +551,7 @@ class Executor:
                 join_preps[si] = prep
             cache[prep_key] = join_preps
 
-        templates = [(c.cid, dev[c.name]) for c in scan.cols]
+        templates = base_cols
         arrays = []
         for _cid, t in templates:
             arrays.append(t.data)
@@ -531,7 +581,7 @@ class Executor:
                 mask = arrs[i] if pad_mask is not None else None
                 if mask is not None:
                     i += 1
-                for r in scan.restrictions:
+                for r in base_restrictions:
                     m = sc.truth_mask(sc.eval_expr(r, env))
                     mask = m if mask is None else mask & m
                 for si, step in enumerate(steps):
@@ -1373,6 +1423,23 @@ def _fused_join_step(prep, args, env, mask, n):
     import jax.numpy as jx
 
     kind = prep["kind"]
+    if kind == "single_broadcast":
+        # 1-row build relation: broadcast its values to every probe row
+        i = 0
+        for cid, t, has_valid, d in prep["payloads"]:
+            data = jx.broadcast_to(args[i][0], (n,))
+            i += 1
+            if not prep["present"]:
+                valid = jx.zeros((n,), jx.bool_)
+            elif has_valid:
+                valid = jx.broadcast_to(args[i][0], (n,))
+            else:
+                valid = None
+            if has_valid:
+                i += 1
+            env[cid] = SCol(t.as_nullable() if valid is not None else t,
+                            data, valid, d)
+        return mask
     c = sc.eval_expr(prep["probe_expr"], env)
     c = sc._bcast(c, n)
     pimg = c.data.astype(jx.int64)

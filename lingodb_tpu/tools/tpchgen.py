@@ -350,6 +350,21 @@ def generate_cached(sf: float, seed: int) -> dict[str, TableStorage]:
     return tables
 
 
+# TPC-H spec primary keys (spec 1.4.2; the reference ships them in its DB
+# metadata — they feed FD-based optimizations like ReduceGroupByKeys and
+# groupjoin detection)
+PRIMARY_KEYS = {
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "partsupp": ["ps_partkey", "ps_suppkey"],
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "nation": ["n_nationkey"],
+    "region": ["r_regionkey"],
+}
+
+
 def load_into(session, sf: float = 0.01, seed: int = 19920601):
     """Install generated TPC-H tables into a session's catalog."""
     from ..catalog.catalog import TableEntry
@@ -358,7 +373,7 @@ def load_into(session, sf: float = 0.01, seed: int = 19920601):
     for name, storage in tables.items():
         session.catalog.tables[name] = TableEntry(
             name, storage.column_names, storage.column_types,
-            [], storage,
+            PRIMARY_KEYS.get(name, []), storage,
         )
     return tables
 

@@ -12,8 +12,10 @@ import pytest
 QDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                     "queries", "tpch")
 
-# queries whose whole aggregate pipeline fuses (tracked; update when coverage grows)
-FUSED = [1, 3, 4, 5, 6, 7, 8, 9, 10, 12, 14, 18, 19, 21]
+# queries where the fused pipeline engages (all 22: single-join spine +
+# broadcast scalars, materialized Tmp/aggregate bases, groupjoin rewrite for
+# Q13, distinct split for Q16, any_value for FD-reduced group keys)
+FUSED = list(range(1, 23))
 
 
 @pytest.fixture(scope="module")
