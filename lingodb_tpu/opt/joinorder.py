@@ -26,13 +26,18 @@ def reorder_joins(plan: L.LogicalOp, catalog) -> L.LogicalOp:
         return plan
     if isinstance(plan, L.Materialize):
         return L.Materialize(reorder_joins(plan.child, catalog), plan.cids, plan.names)
-    children = [reorder_joins(c, catalog) for c in plan.children()]
-    if children:
-        plan = plan.replace_children(children)
+    # Order each maximal inner/cross-join component exactly once: collect the
+    # whole chain at its root, recurse only into the non-join leaves. (A
+    # bottom-up rewrite would re-run _order on every prefix subtree — O(n)
+    # orderings of one n-way chain.)
     if isinstance(plan, L.Join) and plan.kind in ("inner", "cross"):
         rels, preds = _collect(plan)
         if len(rels) > 2:
+            rels = [reorder_joins(r, catalog) for r in rels]
             return _order(rels, preds, catalog)
+    children = [reorder_joins(c, catalog) for c in plan.children()]
+    if children:
+        plan = plan.replace_children(children)
     return plan
 
 
@@ -86,6 +91,8 @@ def estimate_rel_card(plan: L.LogicalOp, catalog) -> float:
     return estimate_rel_card(ch[0], catalog) if ch else 1000.0
 
 
+# memo entries pin the plan object (key is its id) so a garbage-collected
+# plan's id can never alias a live entry
 _CARD_MEMO: dict = {}
 
 
@@ -93,11 +100,11 @@ def _estimate_cached(r, catalog) -> float:
     k = id(r)
     v = _CARD_MEMO.get(k)
     if v is None:
-        v = estimate_rel_card(r, catalog)
+        card = estimate_rel_card(r, catalog)
         if len(_CARD_MEMO) > 8192:
             _CARD_MEMO.clear()
-        _CARD_MEMO[k] = v
-    return v
+        _CARD_MEMO[k] = v = (r, card)
+    return v[1]
 
 
 def _order(rels, preds, catalog) -> L.LogicalOp:
@@ -115,7 +122,7 @@ def _order(rels, preds, catalog) -> L.LogicalOp:
             if u & rel_cids[i]:
                 m |= 1 << i
         pred_masks.append(m)
-        if bin(m).count("1") == 2:
+        if m.bit_count() == 2:
             i, j = [k for k in range(n) if m >> k & 1]
             pred_sels.append(join_selectivity(p, origins, cards[i], cards[j]))
         else:
@@ -124,13 +131,16 @@ def _order(rels, preds, catalog) -> L.LogicalOp:
     if n > DP_LIMIT:
         return _goo(rels, preds, cards, pred_masks, pred_sels)
 
+    multi_preds = [(pm, s) for pm, s in zip(pred_masks, pred_sels)
+                   if pm and pm.bit_count() >= 2]
+
     def card_of(mask: int) -> float:
         c = 1.0
         for i in range(n):
             if mask >> i & 1:
                 c *= cards[i]
-        for pm, s in zip(pred_masks, pred_sels):
-            if pm and (pm & mask) == pm and bin(pm).count("1") >= 2:
+        for pm, s in multi_preds:
+            if (pm & mask) == pm:
                 c *= s
         return max(c, 1.0)
 
@@ -144,38 +154,35 @@ def _order(rels, preds, catalog) -> L.LogicalOp:
         if local:
             best[m] = (0.0, L.Select(rels[i], E.make_and(local)))
 
-    def connected(m1: int, m2: int) -> bool:
-        for pm in pred_masks:
-            if (pm & m1) and (pm & m2) and (pm & ~(m1 | m2)) == 0:
-                return True
-        return False
-
     full = (1 << n) - 1
     masks_by_size = [[] for _ in range(n + 1)]
     for m in range(1, full + 1):
-        masks_by_size[bin(m).count("1")].append(m)
+        masks_by_size[m.bit_count()].append(m)
 
     for size in range(2, n + 1):
         for mask in masks_by_size[size]:
             besthere = None
+            # invariant per mask: the result cardinality and the set of
+            # in-scope predicates depend only on mask, not on the split
+            card = card_of(mask)
+            preds_in = [pm for pm in pred_masks if pm and (pm & mask) == pm]
             s1 = (mask - 1) & mask
             while s1:
                 s2 = mask ^ s1
                 if s1 < s2:  # each unordered split once
                     if s1 in best and s2 in best:
-                        conn = connected(s1, s2)
-                        card = card_of(mask)
+                        conn = any((pm & s1) and (pm & s2) for pm in preds_in)
                         penalty = 1.0 if conn else 1e9
                         cost = best[s1][0] + best[s2][0] + card * penalty
                         if besthere is None or cost < besthere[0]:
-                            joinp = [
-                                p for p, pm in zip(preds, pred_masks)
-                                if (pm & s1) and (pm & s2) and (pm & ~mask) == 0
-                            ]
-                            besthere = (cost, (s1, s2, joinp))
+                            besthere = (cost, (s1, s2))
                 s1 = (s1 - 1) & mask
             if besthere is not None:
-                s1, s2, joinp = besthere[1]
+                s1, s2 = besthere[1]
+                joinp = [
+                    p for p, pm in zip(preds, pred_masks)
+                    if (pm & s1) and (pm & s2) and (pm & ~mask) == 0
+                ]
                 j = L.Join(
                     "inner" if joinp else "cross",
                     best[s1][1], best[s2][1],

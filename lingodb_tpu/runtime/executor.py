@@ -551,6 +551,53 @@ class Executor:
                 join_preps[si] = prep
             cache[prep_key] = join_preps
 
+        # probe-side compaction: when the leading filters keep only a small
+        # fraction of the base rows, gather the survivors once (static-size
+        # nonzero) so every later join lookup and the final reduction run at
+        # the compacted size — random gathers through this TPU cost ~15ms per
+        # million rows, so a 1% spine (Q14's shipdate month over 60M rows)
+        # gets ~50x cheaper. The size is a sample estimate with 4x headroom;
+        # the program returns the true survivor count and the host falls back
+        # to the uncompacted program on overflow (at most once per version —
+        # the fallback is cached).
+        first_join = next(
+            (si for si, st in enumerate(steps) if st[0] == "join"), None)
+        lead = first_join if first_join is not None else 0
+        compact_k = None
+        if (first_join is not None and isinstance(cur, L.Scan)
+                and n >= dv.SMALL_ROWS * 8
+                and not cache.get(("fused_nocompact", key))):
+            from ..opt.cardinality import scan_selectivity
+
+            sel = scan_selectivity(entry, scan, list(base_restrictions))
+            for st in steps[:lead]:
+                if st[0] == "sm" and isinstance(st[1], L.Select):
+                    sel *= scan_selectivity(
+                        entry, scan, E.conjuncts(st[1].predicate))
+            k = 1 << (max(int(n * sel * 4) + 1024, 2) - 1).bit_length()
+            if k <= n // 2:
+                compact_k = k
+        # columns the post-compaction pipeline still reads (everything else
+        # is dropped instead of gathered)
+        used_after = set(op.group_by) | {
+            a.arg for a in op.aggs if a.arg is not None}
+        for si in range(lead, len(steps)):
+            st = steps[si]
+            if st[0] == "sm":
+                if isinstance(st[1], L.Select):
+                    used_after |= E.used_cols(st[1].predicate)
+                else:
+                    for _info, e in st[1].computed:
+                        used_after |= E.used_cols(e)
+            else:
+                p = join_preps[si]
+                if p.get("probe_expr") is not None:
+                    used_after |= E.used_cols(p["probe_expr"])
+                if p.get("probe_expr2") is not None:
+                    used_after |= E.used_cols(p["probe_expr2"])
+                for r in p.get("residual", ()):
+                    used_after |= E.used_cols(r)
+
         templates = base_cols
         arrays = []
         for _cid, t in templates:
@@ -565,7 +612,7 @@ class Executor:
                 arrays.extend(join_preps[si]["arrays"])
 
         if key not in cache:
-            meta = {}
+            meta = {"compact_k": compact_k}
 
             def fn(*arrs):
                 env = {}
@@ -584,7 +631,28 @@ class Executor:
                 for r in base_restrictions:
                     m = sc.truth_mask(sc.eval_expr(r, env))
                     mask = m if mask is None else mask & m
+                cur_n = n
+                extra = ()
                 for si, step in enumerate(steps):
+                    if (compact_k is not None and si == lead
+                            and mask is not None and mask.ndim != 0):
+                        sel_count = jnp.sum(mask.astype(jnp.int64))
+                        idx = jnp.nonzero(mask, size=compact_k,
+                                          fill_value=0)[0]
+                        newenv = {}
+                        for cid, c in env.items():
+                            if cid not in used_after or c.data.ndim == 0:
+                                newenv[cid] = c
+                                continue
+                            newenv[cid] = SCol(
+                                c.type, jnp.take(c.data, idx, axis=0),
+                                None if c.valid is None
+                                else jnp.take(c.valid, idx),
+                                c.dictionary)
+                        env = newenv
+                        mask = jnp.arange(compact_k, dtype=jnp.int64) < sel_count
+                        cur_n = compact_k
+                        extra = (sel_count,)
                     if step[0] == "sm" and isinstance(step[1], L.Select):
                         m = sc.truth_mask(sc.eval_expr(step[1].predicate, env))
                         mask = m if mask is None else mask & m
@@ -595,13 +663,15 @@ class Executor:
                         prep = join_preps[si]
                         nargs = len(prep["arrays"])
                         mask = _fused_join_step(
-                            prep, arrs[i:i + nargs], env, mask, n)
+                            prep, arrs[i:i + nargs], env, mask, cur_n)
                         i += nargs
+                if not extra:
+                    meta["compact_k"] = None
                 if mask is not None and mask.ndim == 0:
-                    mask = jnp.broadcast_to(mask, (n,))
+                    mask = jnp.broadcast_to(mask, (cur_n,))
                 if op.group_by:
                     key_cols = [env[c] for c in op.group_by]
-                    key_cols = [sc._bcast(c, n) for c in key_cols]
+                    key_cols = [sc._bcast(c, cur_n) for c in key_cols]
                     gid, domain = gb.dense_gid(key_cols)
                     if gid is None:
                         meta["mode"] = "general"
@@ -609,10 +679,11 @@ class Executor:
                             (c.type, c.dictionary, c.valid is not None)
                             for c in key_cols
                         ]
-                        return _fused_general_group(op, key_cols, env, mask, n, meta)
+                        return extra + _fused_general_group(
+                            op, key_cols, env, mask, cur_n, meta)
                     radices = [gb.small_domain(c) for c in key_cols]
                 else:
-                    gid = jnp.zeros((n,), jnp.int32)
+                    gid = jnp.zeros((cur_n,), jnp.int32)
                     domain, radices = 1, []
                 meta["mode"] = "dense"
                 meta["domain"], meta["radices"] = domain, radices
@@ -625,7 +696,7 @@ class Executor:
                     wm = w if mask is None else jnp.where(mask, w, jnp.zeros_like(w))
                     return be.segment_sum(wm, gid, num_segments=domain)
 
-                ones = jnp.ones((n,), jnp.int64)
+                ones = jnp.ones((cur_n,), jnp.int64)
                 present = msum(ones)
                 outs = [present]
                 meta["agg_dicts"] = {}
@@ -659,7 +730,10 @@ class Executor:
                     meta["agg_dicts"][spec.out.cid] = arg.dictionary
                     outs.append(red)
                     outs.append(cnt)
-                return tuple(outs)
+                # the packed fetch stacks equal-shape lanes: emit the survivor
+                # count as a (domain,)-sized lane like every other output
+                extra = tuple(jnp.broadcast_to(e, (domain,)) for e in extra)
+                return extra + tuple(outs)
 
             try:
                 jitted = jax.jit(fn)
@@ -676,13 +750,31 @@ class Executor:
         jitted, meta, _t = cache[key]
         from . import device as dv
 
-        if meta.get("mode") == "general":
-            return self._finish_fused_general(op, result, meta)
+        try:
+            if meta.get("mode") == "general":
+                return self._finish_fused_general(op, result, meta)
 
-        # ONE packed transfer of all (domain,)-sized outputs; compaction and
-        # key decoding happen in host numpy, results live on the CPU backend
-        host = dv.fetch_arrays_np({i: a for i, a in enumerate(result)})
-        present = host[0]
+            # ONE packed transfer of all (domain,)-sized outputs; group-slot
+            # extraction and key decoding happen in host numpy, results live
+            # on the CPU backend
+            host = dv.fetch_arrays_np({i: a for i, a in enumerate(result)})
+            off = 0
+            if meta.get("compact_k"):
+                off = 1
+                if int(np.asarray(host[0]).reshape(-1)[0]) > meta["compact_k"]:
+                    raise _CompactOverflow()
+            return self._finish_fused_dense(op, host, meta, off)
+        except _CompactOverflow:
+            # the sample-estimated survivor bound was too small: permanently
+            # disable compaction for this (plan, versions) key and rebuild
+            cache[("fused_nocompact", key)] = True
+            del cache[key]
+            return self._try_fused_agg(op)
+
+    def _finish_fused_dense(self, op, host, meta, off) -> VTable:
+        from . import device as dv
+
+        present = host[off]
         domain, radices = meta["domain"], meta["radices"]
         cpu, _accel = dv.devices()
 
@@ -710,7 +802,7 @@ class Executor:
                 valid = (code != (r - 1)) if knullable else None
                 agg_cols[cid] = cpu_col(
                     ktype, code.astype(np.dtype(jnp_dtype(ktype))), valid, kdict)
-            idx = 1
+            idx = off + 1
             for spec in op.aggs:
                 val, cnt = host[idx][slots_np], host[idx + 1][slots_np]
                 idx += 2
@@ -721,7 +813,7 @@ class Executor:
                 out[spec.out.cid] = agg_cols[spec.out.cid]
             return VTable(out, g)
         # global aggregate: exactly one row
-        idx = 1
+        idx = off + 1
         out = {}
         for spec in op.aggs:
             val, cnt = host[idx], host[idx + 1]
@@ -732,16 +824,21 @@ class Executor:
 
     def _finish_fused_general(self, op, result, meta) -> VTable:
         """Mode 'general' epilogue: fetch the group count (one scalar round
-        trip), slice the padded n-sized device outputs to the next power of
-        two with a cached static program, fetch those, build host columns."""
+        trip; the compaction survivor count rides along), slice the padded
+        device outputs to the next power of two with a cached static program,
+        fetch those, build host columns."""
         from . import device as dv
 
-        g = int(np.asarray(jax.device_get(result[0])))
+        off = 1 if meta.get("compact_k") else 0
+        scalars = dv.fetch_arrays_np({i: result[i] for i in range(off + 1)})
+        if off and int(scalars[0]) > meta["compact_k"]:
+            raise _CompactOverflow()
+        g = int(scalars[off])
         if g == 0:
             return VTable({c.cid: _empty_scol(c.type) for c in op.output_cols()}, 0)
-        n = result[1].shape[0]
+        n = result[off + 1].shape[0]
         g_pad = min(n, 1 << max(g - 1, 1).bit_length()) if g > 1 else 1
-        sliced = _slice_prefix(tuple(result[1:]), g_pad)
+        sliced = _slice_prefix(tuple(result[off + 1:]), g_pad)
         host = dv.fetch_arrays_np({i: a for i, a in enumerate(sliced)})
 
         def cpu_col(t, data_np, valid_np, dictionary=None):
@@ -1414,6 +1511,11 @@ def _fused_general_group(op, key_cols, env, mask, n, meta):
         outs.append(cnt)
         meta["agg_dicts"][spec.out.cid] = arg.dictionary
     return tuple(outs)
+
+
+class _CompactOverflow(Exception):
+    """Raised when the compacted fused program's survivor count exceeded the
+    sample-estimated static size; the caller rebuilds without compaction."""
 
 
 def _fused_join_step(prep, args, env, mask, n):
