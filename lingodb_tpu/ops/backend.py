@@ -186,6 +186,9 @@ def _extreme_np(dtype, maximum: bool):
         return np.inf if maximum else -np.inf
     if dtype == np.bool_:
         return True if maximum else False
+    if dtype == np.object_:
+        # wide-decimal sentinel: beyond any decimal(38) scaled value
+        return 10**40 if maximum else -(10**40)
     info = np.iinfo(dtype)
     return info.max if maximum else info.min
 

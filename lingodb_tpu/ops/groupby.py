@@ -137,8 +137,26 @@ def aggregate(fn: str, arg: SCol | None, out_t: Type, grp: dict) -> SCol:
     nonempty = vcount > 0
     if fn == "sum":
         vals = data if valid is None else jnp.where(valid, data, jnp.zeros_like(data))
-        from ..runtime.vtable import jnp_dtype
+        from ..runtime.vtable import dec_is_wide, is_obj, jnp_dtype
+        from . import decwide
 
+        if is_obj(vals):
+            # wide host column: exact Python-int segment sum (np.add.at
+            # supports object dtype)
+            s = _segment_sum(vals, seg, g, sorted_)
+            return SCol(out_t, decwide.demote_if_possible(s), nonempty)
+        if dec_is_wide(out_t) and jnp.issubdtype(vals.dtype, jnp.integer):
+            if not be.is_jax(vals) and not be.is_jax(seg):
+                # host int64 that may overflow: go exact in Python ints
+                s = _segment_sum(decwide.to_obj(vals), np.asarray(seg), g, sorted_)
+                return SCol(out_t, decwide.demote_if_possible(s), nonempty)
+            # device: 32-bit-split accumulators, recombined exactly on host
+            v64 = vals.astype(jnp.int64)
+            hi = _segment_sum(v64 >> jnp.int64(32), seg, g, sorted_)
+            lo = _segment_sum(v64 & jnp.int64(0xFFFFFFFF), seg, g, sorted_)
+            s = decwide.demote_if_possible(decwide.combine_limbs(
+                np.asarray(jax.device_get(hi)), np.asarray(jax.device_get(lo))))
+            return SCol(out_t, s, nonempty)
         vals = vals.astype(jnp_dtype(out_t))
         s = _segment_sum(vals, seg, g, sorted_)
         return SCol(out_t, s, nonempty)
@@ -177,6 +195,9 @@ def aggregate(fn: str, arg: SCol | None, out_t: Type, grp: dict) -> SCol:
 
 
 def _extreme(dtype, maximum: bool):
+    if dtype == np.object_:
+        # wide-decimal sentinel: beyond any decimal(38) scaled value
+        return 10**40 if maximum else -(10**40)
     if dtype == jnp.bool_:
         return jnp.asarray(True if maximum else False)
     info = jnp.finfo(dtype) if jnp.issubdtype(dtype, jnp.floating) else jnp.iinfo(dtype)

@@ -10,6 +10,8 @@ first, see ops/join.py)."""
 
 from __future__ import annotations
 
+import numpy as np
+
 from .backend import xnp as jnp
 
 
@@ -23,6 +25,16 @@ def splitmix64(x):
 
 
 def _to_u64(data):
+    if getattr(data, "dtype", None) == np.object_:
+        # wide (Python-int) decimals: fold 64-bit limbs (equal values hash
+        # equal; joins verify candidates exactly so collisions are safe)
+        M = (1 << 64) - 1
+        flat = data.reshape(-1)
+        folded = np.fromiter(
+            ((int(v) & M) ^ ((int(v) >> 64) & M) ^ ((int(v) >> 128) & M)
+             for v in flat),
+            dtype=np.uint64, count=flat.size)
+        return folded.reshape(data.shape)
     if data.dtype == jnp.bool_:
         return data.astype(jnp.uint64)
     if data.dtype in (jnp.float32, jnp.float64):

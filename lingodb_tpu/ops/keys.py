@@ -31,6 +31,20 @@ def order_image(c: SCol) -> jnp.ndarray:
     return d
 
 
+def order_images(c: SCol) -> list:
+    """One or more int images whose lexicographic order equals the column
+    order. Wide (Python-int object) decimal columns decompose into three
+    int64 radix limbs; every other type is a single image."""
+    import numpy as np
+
+    d = c.data
+    if isinstance(d, np.ndarray) and d.dtype == np.object_:
+        from . import decwide
+
+        return decwide.order_images(d)
+    return [order_image(c)]
+
+
 def null_flag(c: SCol, nulls_first: bool) -> jnp.ndarray | None:
     if c.valid is None:
         return None
@@ -54,15 +68,16 @@ def sort_permutation(key_cols: list[tuple[SCol, bool, bool | None]], n: int) -> 
         if nf is None:
             nf = not asc
         f = null_flag(c, nf)
-        img = order_image(c)
         if f is not None:
             operands.append(f)
-            # NULL rows carry arbitrary underlying values: zero their image
-            # so they don't break ties ahead of later sort keys
-            img = jnp.where(c.valid, img, jnp.zeros((), img.dtype))
-        if not asc:
-            img = descending(img)
-        operands.append(img)
+        for img in order_images(c):
+            if f is not None:
+                # NULL rows carry arbitrary underlying values: zero their
+                # image so they don't break ties ahead of later sort keys
+                img = jnp.where(c.valid, img, jnp.zeros((), img.dtype))
+            if not asc:
+                img = descending(img)
+            operands.append(img)
     iota = jnp.arange(n, dtype=jnp.int64)
     operands.append(iota)
     operands = [jnp.broadcast_to(o, (n,)) for o in operands]
@@ -78,9 +93,9 @@ def grouping_images(key_cols: list[SCol]) -> list[jnp.ndarray]:
         f = null_flag(c, nulls_first=False)
         if f is not None:
             out.append(f)
-        img = order_image(c)
-        if c.valid is not None:
-            # neutralize NULL payloads so all NULLs compare equal
-            img = jnp.where(c.valid, img, jnp.zeros_like(img))
-        out.append(img)
+        for img in order_images(c):
+            if c.valid is not None:
+                # neutralize NULL payloads so all NULLs compare equal
+                img = jnp.where(c.valid, img, jnp.zeros_like(img))
+            out.append(img)
     return out

@@ -18,7 +18,17 @@ from . import backend as be
 from .backend import xnp as jnp
 
 from ..plan.exprs import BExpr, Call, CaseExpr, Cast, ColRef, Const
-from ..runtime.vtable import SCol, dec_is_float, jnp_dtype
+from ..runtime.vtable import SCol, dec_is_float, dec_is_wide, is_obj, jnp_dtype
+from . import decwide
+
+INT64_MAX = (1 << 63) - 1
+INT64_MIN = -(1 << 63)
+
+
+def _is_tracer(x) -> bool:
+    import jax
+
+    return isinstance(x, jax.core.Tracer)
 from ..sql.types import IntervalUnit, K, Type
 from ..storage.column import EPOCH, decimal_str_to_int
 from . import dates, strings
@@ -38,6 +48,9 @@ def const_scol(value, t: Type) -> SCol:
     if t.is_string:
         return SCol(t, jnp.zeros((), jnp.int32), None, np.array([str(value)], dtype=object))
     v = _const_physical(value, t)
+    if (t.kind in (K.DECIMAL, K.INT, K.BIGINT) and isinstance(v, int)
+            and not (INT64_MIN <= v <= INT64_MAX)):
+        return SCol(t, decwide.obj_scalar(v), None)  # wide literal: exact
     return SCol(t, jnp.asarray(v, jnp_dtype(t)), None)
 
 
@@ -126,8 +139,31 @@ def eval_cast(a: SCol, t: Type) -> SCol:
         return _cast_to_string(a, d)
     data = a.data
     # logical numeric value extraction
+    if s.kind == K.DECIMAL and is_obj(data):
+        # wide (Python-int) source: exact host casts
+        if d.kind == K.DECIMAL:
+            out = decwide.demote_if_possible(decwide.rescale(data, s.s, d.s))
+            return SCol(d, out, valid)
+        if d.kind in (K.FLOAT, K.DOUBLE):
+            f = np.array([float(v) for v in data.reshape(-1)],
+                         np.dtype(jnp_dtype(d))).reshape(data.shape)
+            return SCol(d, f / (10.0**s.s), valid)
+        if d.kind in (K.INT, K.BIGINT):
+            q = decwide.div_trunc(data, 10**s.s) if s.s else data
+            return SCol(d, q.astype(np.dtype(jnp_dtype(d))), valid)
+        if d.kind == K.BOOL:
+            return SCol(d, (data != 0).astype(np.bool_), valid)
     if s.kind == K.DECIMAL and not dec_is_float(s):
         if d.kind == K.DECIMAL:
+            from .backend import is_jax
+
+            if dec_is_wide(d) and d.s > s.s and not _is_tracer(data):
+                # scaling up may exceed int64 (multiplier > 10^18 certainly
+                # does): go exact on the host; concrete device arrays fetch
+                if is_obj(data) or d.s - s.s > 18 or not is_jax(data):
+                    out = decwide.demote_if_possible(
+                        decwide.rescale(decwide.to_obj(data), s.s, d.s))
+                    return SCol(d, out, valid)
             return SCol(d, _rescale_int(data, s.s, d.s, to_float=dec_is_float(d)), valid)
         if d.kind in (K.FLOAT, K.DOUBLE):
             return SCol(d, (data / (10.0**s.s)).astype(jnp_dtype(d)), valid)
@@ -141,10 +177,24 @@ def eval_cast(a: SCol, t: Type) -> SCol:
         s = Type.double(s.nullable)
     if s.kind in (K.INT, K.BIGINT, K.BOOL):
         if d.kind == K.DECIMAL:
-            if dec_is_float(d):
-                return SCol(d, data.astype(jnp.float64), valid)
+            from .backend import is_jax
+
+            if is_obj(data) or (
+                    dec_is_wide(d) and d.s > 0 and not _is_tracer(data)
+                    and (d.s > 18 or not is_jax(data))):
+                out = decwide.demote_if_possible(
+                    decwide.to_obj(data) * (10**d.s))
+                return SCol(d, out, valid)
             return SCol(d, data.astype(jnp.int64) * (10**d.s), valid)
-        if d.kind in (K.INT, K.BIGINT, K.FLOAT, K.DOUBLE):
+        if d.kind in (K.INT, K.BIGINT):
+            if is_obj(data):
+                return SCol(d, data, valid)  # stays exact on the host
+            return SCol(d, data.astype(jnp_dtype(d)), valid)
+        if d.kind in (K.FLOAT, K.DOUBLE):
+            if is_obj(data):
+                f = np.array([float(v) for v in data.reshape(-1)],
+                             np.dtype(jnp_dtype(d))).reshape(data.shape)
+                return SCol(d, f, valid)
             return SCol(d, data.astype(jnp_dtype(d)), valid)
         if d.kind == K.BOOL:
             return SCol(d, data != 0, valid)
@@ -250,8 +300,15 @@ def _cast_from_string(a: SCol, d: Type) -> SCol:
     if d.kind in (K.FLOAT, K.DOUBLE):
         return SCol(d, lut(lambda s: float(s) if s.strip() else 0.0, np.dtype(jnp_dtype(d))), valid)
     if d.kind == K.DECIMAL:
-        if dec_is_float(d):
-            return SCol(d, lut(lambda s: float(s) if s.strip() else 0.0, np.float64), valid)
+        if dec_is_wide(d):
+            vals = [decimal_str_to_int(s, d.s) if s.strip() else 0
+                    for s in a.dictionary]
+            if not all(INT64_MIN <= v <= INT64_MAX for v in vals):
+                table = np.array(vals, dtype=np.object_)
+                codes = np.asarray(a.data)
+                if valid is not None:
+                    valid = np.asarray(valid)
+                return SCol(d, table[codes], valid)
         return SCol(d, lut(lambda s: decimal_str_to_int(s, d.s) if s.strip() else 0, np.int64), valid)
     if d.kind == K.DATE:
         return SCol(d, lut(lambda s: int((np.datetime64(_norm_date_str(s), "D") - EPOCH).astype(np.int64)) if s.strip() else 0, np.int32), valid)
@@ -710,7 +767,10 @@ def eval_compare(op: str, a: SCol, b: SCol, t: Type) -> SCol:
         "eq": jnp.equal, "neq": jnp.not_equal, "lt": jnp.less,
         "lte": jnp.less_equal, "gt": jnp.greater, "gte": jnp.greater_equal,
     }[op]
-    return SCol(t, fn(x, y), valid)
+    out = fn(x, y)
+    if is_obj(out):
+        out = out.astype(np.bool_)
+    return SCol(t, out, valid)
 
 
 def _align_numeric(a: SCol, b: SCol):
@@ -726,6 +786,11 @@ def _align_numeric(a: SCol, b: SCol):
         sa = ta.s if ta.kind == K.DECIMAL else 0
         sb = tb.s if tb.kind == K.DECIMAL else 0
         s = max(sa, sb)
+        if is_obj(a.data) or is_obj(b.data):
+            # exact wide comparison in Python ints
+            va = decwide.to_obj(a.data) * (10 ** (s - sa))
+            vb = decwide.to_obj(b.data) * (10 ** (s - sb))
+            return va, vb
         va = a.data.astype(jnp.int64) * (10 ** (s - sa))
         vb = b.data.astype(jnp.int64) * (10 ** (s - sb))
         return va, vb
@@ -843,6 +908,24 @@ def _dec_logical(c: SCol):
 def _decimal_arith(op: str, a: SCol, b: SCol, t: Type, valid) -> SCol:
     xa, sa = _dec_logical(a)
     xb, sb = _dec_logical(b)
+    from .backend import is_jax
+
+    if sa is not None and sb is not None and (
+            is_obj(xa) or is_obj(xb)
+            or (dec_is_wide(t) and not (is_jax(xa) or is_jax(xb)))):
+        # a side needs >63 bits, or a host-resident result may: compute
+        # exactly in Python ints (overflow-detected by construction — the
+        # reference's i128 path, LowerToStd.cpp:128-330); a device-resident
+        # side is fetched first
+        data, zero = decwide.arith(
+            op, decwide.to_obj(xa), decwide.to_obj(xb), sa, sb, t.s)
+        if zero is not None:
+            if is_jax(valid):
+                import jax
+
+                valid = np.asarray(jax.device_get(valid))
+            valid = _mask_and(valid, ~zero)
+        return SCol(t, decwide.demote_if_possible(data), valid)
     if dec_is_float(t) or sa is None or sb is None:
         va = xa / (10.0**sa) if sa else xa.astype(jnp.float64)
         vb = xb / (10.0**sb) if sb else xb.astype(jnp.float64)

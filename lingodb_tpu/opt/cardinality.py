@@ -63,14 +63,18 @@ def _scan_selectivity_uncached(entry, scan: L.Scan, preds: list[BExpr]) -> float
                     None if valid is None else jnp.asarray(valid),
                     col.dictionary,
                 )
-        sel = 1.0
         n = max(len(idx), 1)
         with jax.default_device(cpu):
+            # evaluate the CONJUNCTION on the sample (one combined mask), not
+            # the product of per-predicate marginals — range predicates
+            # (two one-sided bounds on the same column) and correlated
+            # predicates are wildly overestimated otherwise
+            combined = None
             for p in preds:
                 m = sc.truth_mask(sc.eval_expr(p, env))
-                frac = float(jnp.mean(m.astype(jnp.float32)))
-                sel *= max(frac, 0.5 / n)
-        return sel
+                combined = m if combined is None else (combined & m)
+            frac = float(jnp.mean(combined.astype(jnp.float32)))
+        return max(frac, 0.5 / n)
     except Exception:
         s = 1.0
         for p in preds:

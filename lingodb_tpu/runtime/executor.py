@@ -29,7 +29,7 @@ from ..plan.exprs import Call, ColRef
 from ..sql.types import K, Type
 from ..utils import tracer
 from .result import ResultTable
-from .vtable import SCol, VTable, dec_is_float, jnp_dtype
+from .vtable import SCol, VTable, dec_is_float, dec_is_wide, is_obj, jnp_dtype
 
 
 class ExecError(Exception):
@@ -700,6 +700,7 @@ class Executor:
                 present = msum(ones)
                 outs = [present]
                 meta["agg_dicts"] = {}
+                meta["agg_limbs"] = set()
                 for spec in op.aggs:
                     arg = None if spec.arg is None else env[spec.arg]
                     if spec.fn == "count_star":
@@ -717,6 +718,19 @@ class Executor:
                         data = arg.data.astype(jnp_dtype(spec.out.type))
                         if avalid is not None:
                             data = jnp.where(avalid, data, jnp.zeros_like(data))
+                        if (spec.out.type.kind == K.DECIMAL
+                                and dec_is_wide(spec.out.type)
+                                and data.dtype == jnp.int64):
+                            # exact i128-style sum: 32-bit-split accumulators
+                            # (lo in [0,2^32), hi signed), recombined with
+                            # Python ints on the host (ops/decwide.py)
+                            meta["agg_limbs"].add(spec.out.cid)
+                            lo = data & jnp.int64(0xFFFFFFFF)
+                            hi = data >> jnp.int64(32)
+                            outs.append(msum(hi))
+                            outs.append(msum(lo))
+                            outs.append(cnt)
+                            continue
                         outs.append(msum(data))
                         outs.append(cnt)
                         continue
@@ -804,8 +818,16 @@ class Executor:
                     ktype, code.astype(np.dtype(jnp_dtype(ktype))), valid, kdict)
             idx = off + 1
             for spec in op.aggs:
-                val, cnt = host[idx][slots_np], host[idx + 1][slots_np]
-                idx += 2
+                if spec.out.cid in meta.get("agg_limbs", ()):
+                    from ..ops import decwide
+
+                    val = decwide.demote_if_possible(decwide.combine_limbs(
+                        host[idx][slots_np], host[idx + 1][slots_np]))
+                    cnt = host[idx + 2][slots_np]
+                    idx += 3
+                else:
+                    val, cnt = host[idx][slots_np], host[idx + 1][slots_np]
+                    idx += 2
                 agg_cols[spec.out.cid] = self._finish_fused_agg(
                     spec, val, cnt, cpu_col, meta["agg_dicts"].get(spec.out.cid))
             out = {c.cid: agg_cols[c.cid] for c in op.group_cols}
@@ -816,8 +838,16 @@ class Executor:
         idx = off + 1
         out = {}
         for spec in op.aggs:
-            val, cnt = host[idx], host[idx + 1]
-            idx += 2
+            if spec.out.cid in meta.get("agg_limbs", ()):
+                from ..ops import decwide
+
+                val = decwide.demote_if_possible(
+                    decwide.combine_limbs(host[idx], host[idx + 1]))
+                cnt = host[idx + 2]
+                idx += 3
+            else:
+                val, cnt = host[idx], host[idx + 1]
+                idx += 2
             out[spec.out.cid] = self._finish_fused_agg(
                 spec, val, cnt, cpu_col, meta["agg_dicts"].get(spec.out.cid))
         return VTable(out, 1)
@@ -858,8 +888,16 @@ class Executor:
                 i += 1
             agg_cols[cid] = cpu_col(ktype, data, valid, kdict)
         for spec in op.aggs:
-            val, cnt = host[i][:g], host[i + 1][:g]
-            i += 2
+            if spec.out.cid in meta.get("agg_limbs", ()):
+                from ..ops import decwide
+
+                val = decwide.demote_if_possible(decwide.combine_limbs(
+                    host[i][:g], host[i + 1][:g]))
+                cnt = host[i + 2][:g]
+                i += 3
+            else:
+                val, cnt = host[i][:g], host[i + 1][:g]
+                i += 2
             agg_cols[spec.out.cid] = self._finish_fused_agg(
                 spec, val, cnt, cpu_col, meta["agg_dicts"].get(spec.out.cid))
         out = {c.cid: agg_cols[c.cid] for c in op.group_cols}
@@ -1481,6 +1519,7 @@ def _fused_general_group(op, key_cols, env, mask, n, meta):
 
     ones = jx.where(inm_s, jx.ones((n,), jx.int64), jx.zeros((n,), jx.int64))
     meta["agg_dicts"] = {}
+    meta["agg_limbs"] = set()
     from ..ops import backend as bk
 
     for spec in op.aggs:
@@ -1501,6 +1540,16 @@ def _fused_general_group(op, key_cols, env, mask, n, meta):
         if spec.fn == "sum":
             keep = vm > 0
             data_s = jx.where(keep, data_s, jx.zeros_like(data_s))
+            if (spec.out.type.kind == K.DECIMAL and dec_is_wide(spec.out.type)
+                    and data_s.dtype == jx.int64):
+                # exact wide sum: 32-bit-split accumulators (see dense path)
+                meta["agg_limbs"].add(spec.out.cid)
+                outs.append(bk._sorted_segment_sum(
+                    data_s >> jx.int64(32), seg, n))
+                outs.append(bk._sorted_segment_sum(
+                    data_s & jx.int64(0xFFFFFFFF), seg, n))
+                outs.append(cnt)
+                continue
             outs.append(bk._sorted_segment_sum(data_s, seg, n))
             outs.append(cnt)
             continue
@@ -1719,7 +1768,13 @@ def _scol_from_values(vals: list, t: Type) -> SCol:
         return SCol(t, jnp.asarray(codes), None if all_valid else jnp.asarray(valid_np), dictionary)
     dtype = np.dtype(jnp_dtype(t))
     arr = np.zeros(n, dtype=dtype)
-    for i, v in enumerate(vals):
-        if v is not None:
-            arr[i] = v
+    try:
+        for i, v in enumerate(vals):
+            if v is not None:
+                arr[i] = v
+    except OverflowError:
+        # wide-decimal values beyond int64: exact host object column
+        arr = np.array([0 if v is None else int(v) for v in vals],
+                       dtype=np.object_)
+        return SCol(t, arr, None if all_valid else valid_np)
     return SCol(t, jnp.asarray(arr), None if all_valid else jnp.asarray(valid_np))

@@ -38,7 +38,8 @@ class ResultTable:
                 elif d is not None:
                     row.append(str(d[c[i]]))
                 else:
-                    row.append(c[i].item())
+                    x = c[i]
+                    row.append(x.item() if hasattr(x, "item") else x)
             out.append(row)
         return out
 
@@ -67,8 +68,9 @@ class ResultTable:
         if d is not None:
             vals = d[np.asarray(data)]
             out = [str(v) for v in vals]
-        elif t.kind == K.DECIMAL and not dec_is_float(t):
-            out = native.format_decimal(np.asarray(data), valid, t.s)
+        elif t.kind == K.DECIMAL and np.asarray(data).dtype != np.object_:
+            out = native.format_decimal(
+                np.asarray(data).astype(np.int64), valid, t.s)
         elif t.kind == K.DATE:
             out = native.format_date32(np.asarray(data), valid)
         elif t.kind == K.TIMESTAMP:

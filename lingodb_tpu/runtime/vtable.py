@@ -40,7 +40,10 @@ def jnp_dtype(t: Type):
     if t.kind == K.DOUBLE:
         return jnp.float64
     if t.kind == K.DECIMAL:
-        return jnp.float64 if dec_is_float(t) else jnp.int64
+        # wide decimals (dec_is_wide) default to scaled int64 physically;
+        # values that genuinely need more than 63 bits live in host object
+        # arrays of Python ints (see storage/column.py + ops/scalar.py)
+        return jnp.int64
     if t.kind in (K.STRING, K.CHAR):
         return jnp.int32
     if t.kind == K.DATE:
@@ -54,11 +57,34 @@ def jnp_dtype(t: Type):
     raise NotImplementedError(str(t))
 
 
+def dec_is_wide(t: Type) -> bool:
+    """Decimals that may not fit a scaled int64 (precision or scale > 18).
+    Wide columns are stored as host numpy object arrays of Python ints
+    (exact arbitrary precision — a superset of the reference's i128,
+    DBToStd/LowerToStd.cpp:128-330) and never upload to the device; device
+    programs that produce wide SUM results accumulate in 32-bit-split int64
+    lanes and recombine exactly on the host."""
+    return t.kind == K.DECIMAL and (t.p > 18 or t.s > 18)
+
+
 def dec_is_float(t: Type) -> bool:
-    """Decimals with scale > 18 cannot be held in a scaled int64; they fall
-    back to float64 (display formatting keeps the declared scale; conformance
-    relies on the reference tester's fuzzy decimal comparison)."""
-    return t.s > 18
+    """Legacy predicate from the float64 fallback era: wide decimals are now
+    exact (see dec_is_wide), so no decimal is ever float-backed."""
+    return False
+
+
+def is_obj(a) -> bool:
+    """True for host object-dtype arrays (Python-int decimal limbs)."""
+    return isinstance(a, np.ndarray) and a.dtype == np.object_
+
+
+def _host_idx(idx) -> np.ndarray:
+    """Fetch an index/mask array to the host for object-column gathers."""
+    if isinstance(idx, np.ndarray):
+        return idx
+    import jax
+
+    return np.asarray(jax.device_get(idx))
 
 
 @dataclass
@@ -83,9 +109,16 @@ class SCol:
     def take(self, idx) -> "SCol":
         from ..ops.backend import xnp
 
+        data = self.data
+        if is_obj(data):  # host-only wide-decimal column: numpy gather
+            idx = _host_idx(idx)
+            return SCol(
+                self.type, data[idx],
+                None if self.valid is None else np.asarray(self.valid)[idx],
+                self.dictionary)
         return SCol(
             self.type,
-            xnp.take(self.data, idx, axis=0),
+            xnp.take(data, idx, axis=0),
             None if self.valid is None else xnp.take(self.valid, idx, axis=0),
             self.dictionary,
         )
@@ -95,6 +128,9 @@ class SCol:
         outer joins: unmatched rows gather slot 0 but become NULL)."""
         from ..ops.backend import xnp
 
+        if is_obj(self.data):
+            idx = _host_idx(idx)
+            oob_invalid = _host_idx(oob_invalid).astype(np.bool_)
         bidx = xnp.maximum(idx, 0)
         data = xnp.take(self.data, bidx, axis=0)
         base = (
@@ -121,15 +157,22 @@ class VTable:
         from ..ops.backend import any_jax
 
         arrays = {}
+        obj_arrays = {}
         for cid, c in self.cols.items():
-            arrays[("d", cid)] = c.data
+            # wide-decimal object columns are host-only: gather with numpy
+            (obj_arrays if is_obj(c.data) else arrays)[("d", cid)] = c.data
             if c.valid is not None:
                 arrays[("v", cid)] = c.valid
-        if any_jax(idx, arrays):
+        if arrays and any_jax(idx, arrays):
             out = _gather_tree(idx, arrays)
         else:
             bidx = np.maximum(np.asarray(idx), 0)
             out = {k: np.take(a, bidx, axis=0) for k, a in arrays.items()}
+        if obj_arrays:
+            import jax
+
+            hidx = np.maximum(np.asarray(jax.device_get(idx)), 0)
+            out.update({k: a[hidx] for k, a in obj_arrays.items()})
         cols = {}
         for cid, c in self.cols.items():
             cols[cid] = SCol(c.type, out[("d", cid)], out.get(("v", cid)), c.dictionary)

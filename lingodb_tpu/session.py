@@ -415,9 +415,14 @@ def _column_from_physical(t, vals):
     from .storage.column import physical_dtype
 
     arr = np.zeros(n, dtype=physical_dtype(t))
-    for i, v in enumerate(vals):
-        if v is not None:
-            arr[i] = v
+    try:
+        for i, v in enumerate(vals):
+            if v is not None:
+                arr[i] = v
+    except OverflowError:
+        # wide decimal beyond int64: exact Python-int object column
+        arr = np.array([0 if v is None else int(v) for v in vals],
+                       dtype=np.object_)
     return Column(t, arr, None if all_valid else valid)
 
 

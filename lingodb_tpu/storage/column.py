@@ -81,10 +81,16 @@ class Column:
             return col
         dtype = physical_dtype(t)
         out = np.zeros(n, dtype=dtype)
-        for i, v in enumerate(values):
-            if v is None:
-                continue
-            out[i] = _to_physical(t, v)
+        try:
+            for i, v in enumerate(values):
+                if v is None:
+                    continue
+                out[i] = _to_physical(t, v)
+        except OverflowError:
+            # wide decimal beyond int64: exact Python-int object column
+            out = np.array(
+                [0 if v is None else int(_to_physical(t, v)) for v in values],
+                dtype=np.object_)
         return Column(t, out, None if all_valid else valid)
 
     def is_valid_mask(self) -> np.ndarray:

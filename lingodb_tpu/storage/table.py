@@ -153,6 +153,18 @@ def _to_arrow(name: str, t: Type, c: Column, decimal_as_int: bool = True):
         arr = pa.array(vals, type=pa.string(), mask=mask)
         return arr, pa.field(name, pa.string(), t.nullable)
     if t.kind == K.DECIMAL:
+        if c.data.dtype == np.object_:
+            # wide (Python-int) column: decimal128 round-trips exactly
+            from decimal import Decimal
+
+            dt = pa.decimal128(38, t.s)
+            vals = [
+                None if (mask is not None and mask[i])
+                else Decimal(int(c.data[i])).scaleb(-t.s)
+                for i in range(len(c.data))
+            ]
+            arr = pa.array(vals, type=dt)
+            return arr, pa.field(name, dt, t.nullable)
         if decimal_as_int:
             # persist the scaled-int64 representation directly (fast bulk
             # path); the logical decimal type lives in catalog.json.
@@ -231,8 +243,10 @@ def _from_arrow(t: Type, chunked) -> Column:
         if pa.types.is_integer(arr.type):  # our scaled-int64 persistence form
             data = np.asarray(arr.fill_null(0) if arr.null_count else arr)
             return Column(t, data.astype(np.int64), valid)
-        ints = np.array([0 if v is None else int(v.scaleb(t.s)) for v in arr.to_pylist()], dtype=np.int64)
-        return Column(t, ints, valid)
+        pyvals = [0 if v is None else int(v.scaleb(t.s)) for v in arr.to_pylist()]
+        if all(-(1 << 63) <= v < (1 << 63) for v in pyvals):
+            return Column(t, np.array(pyvals, dtype=np.int64), valid)
+        return Column(t, np.array(pyvals, dtype=np.object_), valid)
     if t.kind == K.DATE:
         days = np.asarray(arr.cast(pa.int32()))
         return Column(t, days.astype(np.int32), valid)

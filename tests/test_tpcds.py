@@ -1,8 +1,7 @@
 """TPC-DS conformance: the reference's query texts
 (/root/reference/resources/sql/tpcds/*.sql) run against generated data with
 sqlite3 as differential oracle (reference runs the same queries in CI against
-dsdgen data, .github/workflows: tpcdsSf1.test). A fast representative subset
-runs in CI; the full 103-query sweep is scripts/sweeps (run manually)."""
+dsdgen data, .github/workflows: tpcdsSf1.test). All 103 queries run."""
 
 import os
 import sqlite3
@@ -11,9 +10,11 @@ import pytest
 
 QDIR = "/root/reference/resources/sql/tpcds"
 
-# representative fast subset: scans+aggregates, window functions, CTEs,
-# set ops, correlated subqueries, intersect
-SUBSET = [1, 3, 7, 12, 15, 19, 25, 26, 42, 43, 52, 55, 62, 79, 82, 84, 91, 96, 99]
+SUBSET = sorted(
+    (f[:-4] for f in os.listdir(QDIR)
+     if f.endswith(".sql") and f != "initialize.sql"),
+    key=lambda q: (int("".join(c for c in q if c.isdigit())), q),
+) if os.path.isdir(QDIR) else []
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(QDIR), reason="reference TPC-DS queries not mounted")
