@@ -82,9 +82,30 @@ class FunctionEntry:
     name: str
     arg_types: list[Type]
     return_type: Type
-    language: str  # "python" | "sql" | "builtin"
+    language: str  # "python" | "c" | "sql" | "builtin"
     body: str = ""
     fn: object = None  # compiled callable
+    arg_names: list = field(default_factory=list)
+
+
+def compile_function(entry: FunctionEntry):
+    """Compile a UDF entry and register it for scalar eval (used both by
+    CREATE FUNCTION and when loading a persisted catalog; reference:
+    UDFImplementer + FunctionCatalogEntry)."""
+    from ..ops.scalar import udf_register
+    from ..runtime import udf as udfmod
+
+    arg_names = list(entry.arg_names) or [f"a{i}" for i in range(len(entry.arg_types))]
+    if entry.language == "c":
+        entry.fn = udfmod.compile_c_udf(
+            entry.name, arg_names, entry.arg_types, entry.return_type, entry.body)
+    elif entry.language == "python":
+        entry.fn = udfmod.make_python_udf(
+            entry.name, arg_names, entry.arg_types, entry.return_type, entry.body)
+    else:
+        raise NotImplementedError(f"UDF language {entry.language}")
+    udf_register(entry.name, entry.fn)
+    return entry.fn
 
 
 class Catalog:
@@ -93,8 +114,14 @@ class Catalog:
         self.tables: dict[str, TableEntry] = {}
         self.functions: dict[str, FunctionEntry] = {}
         self.persist = bool(db_dir)
+        # ref_format: the directory was created by reference (LingoDB) tooling
+        # (binary db.lingodb catalog); saves keep writing that format.
+        self.ref_format = False
         if db_dir and os.path.exists(os.path.join(db_dir, "catalog.json")):
             self._load()
+        elif db_dir and os.path.exists(os.path.join(db_dir, "db.lingodb")):
+            self.ref_format = True
+            self._load_ref()
 
     # ---- table management ---------------------------------------------------
     def create_table(self, name, column_names, column_types, primary_key=()):
@@ -137,8 +164,12 @@ class Catalog:
         if not self.persist:
             return
         os.makedirs(self.db_dir, exist_ok=True)
-        meta = {"version": CATALOG_VERSION, "tables": []}
+        if self.ref_format:
+            self.save_reference(self.db_dir)
+            return
+        meta = {"version": CATALOG_VERSION, "tables": [], "functions": []}
         for entry in self.tables.values():
+            regs = entry.storage.hll_regs if entry.storage else None
             meta["tables"].append(
                 {
                     "name": entry.name,
@@ -149,15 +180,33 @@ class Catalog:
                     "primary_key": entry.primary_key,
                     "num_rows": entry.num_rows,
                     "stats": entry.get_stats(),
+                    # HLL sketches persist so appends keep merging instead of
+                    # rescanning (reference: ColumnStatistics in db.lingodb)
+                    "hll": None if regs is None else [bytes(r).hex() for r in regs],
                     "indexes": entry.indexes,
                 }
             )
             if entry.storage:
                 entry.storage.save(self.db_dir)
+        for fe in self.functions.values():
+            if fe.language not in ("c", "python"):
+                continue  # builtins are not persisted
+            meta["functions"].append(
+                {
+                    "name": fe.name,
+                    "language": fe.language,
+                    "body": fe.body,
+                    "arg_names": list(fe.arg_names),
+                    "arg_types": [type_to_json(t) for t in fe.arg_types],
+                    "return_type": type_to_json(fe.return_type),
+                }
+            )
         with open(os.path.join(self.db_dir, "catalog.json"), "w") as f:
             json.dump(meta, f, indent=1)
 
     def _load(self):
+        import numpy as np
+
         with open(os.path.join(self.db_dir, "catalog.json")) as f:
             meta = json.load(f)
         for t in meta["tables"]:
@@ -168,7 +217,115 @@ class Catalog:
             entry.indexes = t.get("indexes", {})
             entry.stats = t.get("stats", [])
             entry.stats_version = storage.version
+            if t.get("hll"):
+                storage.hll_regs = [
+                    np.frombuffer(bytes.fromhex(h), dtype=np.uint8).copy()
+                    for h in t["hll"]
+                ]
             self.tables[t["name"]] = entry
+        for f in meta.get("functions", []):
+            fe = FunctionEntry(
+                f["name"],
+                [type_from_json(t) for t in f["arg_types"]],
+                type_from_json(f["return_type"]),
+                f["language"], f["body"], None, f.get("arg_names", []),
+            )
+            compile_function(fe)
+            self.functions[fe.name.lower()] = fe
+
+    # ---- reference (LingoDB) format interop -----------------------------------
+    def _load_ref(self):
+        """Open a database directory created by reference tooling
+        (db.lingodb binary catalog + one Arrow IPC file per table;
+        reference: Catalog::create, src/catalog/Catalog.cpp:76-95)."""
+        from ..storage import refformat
+        from ..utils import hll as hllmod
+
+        rc = refformat.read_catalog(self.db_dir)
+        ref_indexes = {}
+        for ix in rc.indexes:
+            ref_indexes.setdefault(ix.table, {})[ix.name] = list(ix.columns)
+        for rt in rc.tables:
+            if os.path.exists(os.path.join(self.db_dir, rt.file_name)):
+                storage = TableStorage.load(
+                    rt.name, self.db_dir, rt.column_names, rt.column_types,
+                    file_name=rt.file_name)
+            else:  # catalog entry with no flushed data yet
+                storage = TableStorage.create(
+                    rt.name, rt.column_names, rt.column_types)
+            entry = TableEntry(rt.name, rt.column_names, rt.column_types,
+                               rt.primary_key, storage)
+            entry.indexes = ref_indexes.get(rt.name, {})
+            # adopt the persisted sketches for distinct estimates; register
+            # contents come from the reference's hash so they are NOT merged
+            # with ours on append (append recomputes from scratch instead)
+            stats = []
+            for cname in rt.column_names:
+                regs = rt.hll_registers.get(cname)
+                st = {}
+                if regs is not None:
+                    st["distinct"] = max(
+                        1, min(int(hllmod.estimate(regs)), storage.num_rows))
+                stats.append(st)
+            entry.stats = stats
+            entry.stats_version = storage.version
+            self.tables[rt.name] = entry
+        for rf in rc.functions:
+            lang = "c" if rf.entry_type == refformat.T_C_FUNCTION else "python"
+            arg_names, body = refformat.split_function_code(lang, rf.code)
+            fe = FunctionEntry(rf.name, rf.arg_types, rf.return_type, lang,
+                               body, None, arg_names)
+            compile_function(fe)
+            self.functions[fe.name.lower()] = fe
+
+    def save_reference(self, db_dir: str):
+        """Write this catalog as a reference-format database directory
+        (db.lingodb + plain-encoded Arrow IPC files the reference can scan;
+        reference: Catalog::persist, src/catalog/Catalog.cpp:63-75)."""
+        import pyarrow.ipc as ipc
+
+        from ..storage import refformat
+
+        os.makedirs(db_dir, exist_ok=True)
+        rc = refformat.RefCatalog()
+        for entry in self.tables.values():
+            st = entry.storage or TableStorage.create(
+                entry.name, entry.column_names, entry.column_types)
+            file_name = f"{entry.name}.arrow"
+            tbl = st.to_arrow_table(ref_compat=True)
+            path = os.path.join(db_dir, file_name)
+            with ipc.RecordBatchFileWriter(path, tbl.schema) as w:
+                w.write_table(tbl)
+            sample = tbl.slice(0, min(len(tbl), 1024)).combine_chunks()
+            import io
+
+            buf = io.BytesIO()
+            with ipc.RecordBatchStreamWriter(buf, tbl.schema) as w:
+                w.write_table(sample)
+            regs = st.ensure_hll() if st.num_rows else None
+            rc.tables.append(refformat.RefTable(
+                entry.name, entry.column_names, entry.column_types,
+                entry.primary_key, list(entry.indexes.keys()), file_name,
+                st.num_rows, buf.getvalue(),
+                tbl.schema.serialize().to_pybytes(),
+                {} if regs is None else {
+                    n: bytes(r) for n, r in zip(entry.column_names, regs)},
+            ))
+            for iname, icols in entry.indexes.items():
+                rc.indexes.append(refformat.RefIndex(
+                    iname, entry.name, list(icols), f"{iname}.idx"))
+        for fe in self.functions.values():
+            if fe.language not in ("c", "python"):
+                continue
+            rc.functions.append(refformat.RefFunction(
+                fe.name,
+                refformat.T_C_FUNCTION if fe.language == "c"
+                else refformat.T_PY_FUNCTION,
+                refformat.join_function_code(
+                    fe.language, fe.name, fe.arg_names, fe.arg_types,
+                    fe.return_type, fe.body),
+                fe.return_type, list(fe.arg_types)))
+        refformat.write_catalog(db_dir, rc)
 
 
 def arrow_schema_types(schema):

@@ -436,6 +436,87 @@ class Tmp(LogicalOp):
         return "\n".join(lines)
 
 
+class IterateHolder:
+    """Identity object linking IterRef leaves to their enclosing Iterate
+    (the analogue of the loop region's block argument in the reference's
+    subop.loop, SubOperatorOps.td:937-953)."""
+
+    __slots__ = ("seq",)
+    _counter = 0
+
+    def __init__(self):
+        IterateHolder._counter += 1
+        self.seq = IterateHolder._counter
+
+
+@dataclass
+class IterRef(LogicalOp):
+    """Reference to the iteration working table inside an Iterate step plan
+    (reference: the subop.loop region argument; in SQL terms, the recursive
+    CTE's self-reference). Positionally aligned with Iterate.cols; a leaf so
+    rewrite passes treat it as an opaque relation."""
+
+    holder: IterateHolder
+    cols: list[ColInfo]  # fresh cids per reference, positional vs Iterate.cols
+
+    def children(self):
+        return []
+
+    def output_cols(self):
+        return list(self.cols)
+
+    def replace_children(self, new):
+        assert not new
+        return self
+
+    def _describe(self):
+        return f"IterRef@{self.holder.seq} {[c.cid for c in self.cols]}"
+
+
+@dataclass
+class Iterate(LogicalOp):
+    """Iterate-until-fixpoint program (reference: subop.loop +
+    subop.loop_continue, SubOperatorOps.td:937-953, lowered in
+    SubOpToControlFlow; exercised by test/lit/SubOp/kmeans.mlir,
+    pagerank.mlir, loop.mlir). Also the lowering target for SQL
+    WITH RECURSIVE.
+
+    Semantics: evaluate `base` once; then repeatedly evaluate `step` with
+    every IterRef of this holder bound to the previous iteration's rows.
+      distinct=True  (UNION):     semi-naive — the working table is only the
+                                  rows not seen before; stop when empty.
+      distinct=False (UNION ALL): working table = previous step output; stop
+                                  when the step produces no rows.
+      emit="all":  output all accumulated rows (recursive CTE semantics).
+      emit="last": output only the final iteration's rows (the subop.loop
+                   state-replacement analogue, e.g. kmeans centroids).
+    """
+
+    holder: IterateHolder
+    base: LogicalOp
+    step: LogicalOp
+    cols: list[ColInfo]   # output/working columns (fresh cids)
+    distinct: bool
+    lmap: list[int]       # base-plan cid per output col
+    smap: list[int]       # step-plan cid per output col
+    emit: str = "all"     # "all" | "last"
+    max_iters: int = 10_000
+
+    def children(self):
+        return [self.base, self.step]
+
+    def output_cols(self):
+        return list(self.cols)
+
+    def replace_children(self, new):
+        return Iterate(self.holder, new[0], new[1], self.cols, self.distinct,
+                       self.lmap, self.smap, self.emit, self.max_iters)
+
+    def _describe(self):
+        return (f"Iterate@{self.holder.seq} "
+                f"{'distinct' if self.distinct else 'all'} emit={self.emit}")
+
+
 def walk_plan(op: LogicalOp):
     yield op
     for c in op.children():

@@ -50,6 +50,9 @@ class Executor:
         # shared-subtree results, valid for one plan execution
         # (reference: the materialized relalg.tmp buffer, RelAlgOps.td:499)
         self._tmp_results: dict[int, VTable] = {}
+        # Iterate working tables, keyed by IterateHolder.seq while a loop
+        # body is being dispatched (reference: subop.loop region argument)
+        self._iter_tables: dict[int, VTable] = {}
 
     # ------------------------------------------------------------- dispatch
     def execute(self, plan: L.Materialize) -> ResultTable:
@@ -171,6 +174,79 @@ class Executor:
 
     def _run_materialize(self, op: L.Materialize) -> VTable:
         return self.run(op.child)
+
+    def _run_iterref(self, op: L.IterRef) -> VTable:
+        vt = self._iter_tables.get(op.holder.seq)
+        if vt is None:
+            raise ExecError("IterRef outside an executing Iterate")
+        # positional rename: working cols -> this reference's cids
+        work = list(vt.cols.values())
+        return VTable({c.cid: s for c, s in zip(op.cols, work)}, vt.num_rows)
+
+    def _run_iterate(self, op: L.Iterate) -> VTable:
+        """Iterate-until-fixpoint (reference: subop.loop lowering in
+        SubOpToControlFlow.cpp; SQL WITH RECURSIVE lowers here).
+
+        Each round dispatches the step plan's (cached/jitted) stages with the
+        working table rebound; the only extra host sync per round is the
+        row-count check that decides termination — the same one-sync-per-
+        size-changing-op contract as the rest of the executor. Semi-naive
+        for UNION: the working table holds only never-seen-before rows."""
+        from . import device as dv
+
+        base = self.run(op.base)
+        cur = VTable({c.cid: base.col(s) for c, s in zip(op.cols, op.lmap)},
+                     base.num_rows)
+        if op.distinct and cur.num_rows:
+            grp = gb.group_rows([cur.col(c.cid) for c in op.cols], cur.num_rows)
+            cur = cur.take(grp["rep_rows"], grp["num_groups"])
+        acc = cur
+        it = 0
+        while cur.num_rows:
+            it += 1
+            if it > op.max_iters:
+                raise ExecError(
+                    f"Iterate exceeded max_iters={op.max_iters} (possible "
+                    f"non-terminating recursion)")
+            self._iter_tables[op.holder.seq] = cur
+            try:
+                out = self.run(op.step)
+            finally:
+                self._iter_tables.pop(op.holder.seq, None)
+            nxt = VTable({c.cid: out.col(s) for c, s in zip(op.cols, op.smap)},
+                         out.num_rows)
+            if op.distinct:
+                nxt = self._iter_new_rows(nxt, acc, op.cols)
+            if nxt.num_rows == 0:
+                break
+            a, b = dv.align_devices(acc, nxt)
+            acc = _vconcat(a, b, op.cols)
+            cur = b
+        return acc if op.emit == "all" else cur
+
+    def _iter_new_rows(self, nxt: VTable, acc: VTable, cols) -> VTable:
+        """Semi-naive delta: distinct rows of `nxt` not present in `acc`."""
+        from . import device as dv
+
+        if nxt.num_rows == 0:
+            return nxt
+        acc_a, nxt_a = dv.align_devices(acc, nxt)
+        both = _vconcat(acc_a, nxt_a, cols)
+        grp = gb.group_rows([both.col(c.cid) for c in cols], both.num_rows)
+        seg, g, order = grp["seg"], grp["num_groups"], grp["order"]
+        tag = jnp.concatenate([
+            jnp.zeros((acc_a.num_rows,), jnp.int64),
+            jnp.ones((nxt_a.num_rows,), jnp.int64),
+        ])
+        t = tag if order is None else jnp.take(tag, order)
+        seen = be.segment_sum(1 - t, seg, num_segments=g,
+                              indices_are_sorted=grp["sorted"])
+        keep = (seen == 0)
+        rep = grp["rep_rows"]
+        keep_np = np.asarray(jax.device_get(keep))
+        rep_np = np.asarray(jax.device_get(rep))
+        idx = rep_np[keep_np]
+        return both.take(jnp.asarray(idx), len(idx))
 
     def _run_tmp(self, op: L.Tmp) -> VTable:
         """Materialize the shared subtree ONCE per execution; every Tmp

@@ -99,6 +99,12 @@ class Session:
     def close(self):
         self.catalog.save()
 
+    def export_reference(self, db_dir: str) -> None:
+        """Write the catalog + data as a reference (LingoDB) database
+        directory: binary db.lingodb catalog + plain-encoded Arrow IPC files
+        (reference: Catalog::persist, src/catalog/Catalog.cpp:63-75)."""
+        self.catalog.save_reference(db_dir)
+
     # ------------------------------------------------------------ statements
     def _execute_statement(self, stmt):
         t = tracer.Timing()
@@ -188,25 +194,13 @@ class Session:
             set_setting(stmt.key, stmt.value)
             return None
         if isinstance(stmt, A.CreateFunctionStmt):
-            from .ops.scalar import udf_register
-            from .runtime import udf as udfmod
+            from .catalog.catalog import compile_function
 
             entry = FunctionEntry(stmt.name, stmt.arg_types, stmt.return_type,
-                                  stmt.language, stmt.body)
-            if stmt.language == "c":
-                entry.fn = udfmod.compile_c_udf(
-                    stmt.name, stmt.arg_names, stmt.arg_types,
-                    stmt.return_type, stmt.body,
-                )
-            elif stmt.language == "python":
-                entry.fn = udfmod.make_python_udf(
-                    stmt.name, stmt.arg_names, stmt.arg_types,
-                    stmt.return_type, stmt.body,
-                )
-            else:
-                raise NotImplementedError(f"UDF language {stmt.language}")
+                                  stmt.language, stmt.body,
+                                  arg_names=list(stmt.arg_names))
+            compile_function(entry)
             self.catalog.create_function(entry)
-            udf_register(stmt.name, entry.fn)
             return None
         raise NotImplementedError(type(stmt).__name__)
 

@@ -29,6 +29,11 @@ class TableStorage:
     columns: list[Column] = field(default_factory=list)
     num_rows: int = 0
     version: int = 0  # bumped on append; invalidates device cache
+    # per-column HyperLogLog registers (m=64 uint8 each), maintained
+    # incrementally on append and persisted with the catalog (reference:
+    # ColumnStatistics::merge, src/catalog/MetaData.cpp:28-35). None = not
+    # yet computed (built lazily on first stats request).
+    hll_regs: list | None = None
 
     @staticmethod
     def create(name: str, names: list[str], types: list[Type]) -> "TableStorage":
@@ -65,6 +70,15 @@ class TableStorage:
             self.columns = [c.concat(nc) for c, nc in zip(self.columns, new_cols)]
         self.num_rows += n
         self.version += 1
+        if self.hll_regs is not None:
+            # incremental sketch merge (reference: ColumnStatistics::merge
+            # hashes only the appended segment, MetaData.cpp:28-35)
+            from ..utils import hll
+
+            self.hll_regs = [
+                hll.merge(r, hll.registers_from_hashes(column_hashes(c.type, nc)))
+                for r, c, nc in zip(self.hll_regs, self.columns, new_cols)
+            ]
 
     # ---- statistics (reference: catalog Sample + HLL distinct counts) ------
     def sample_indices(self, rng: np.random.Generator | None = None) -> np.ndarray:
@@ -73,57 +87,83 @@ class TableStorage:
         rng = rng or np.random.default_rng(42)
         return np.sort(rng.choice(self.num_rows, size=SAMPLE_SIZE, replace=False))
 
+    def ensure_hll(self) -> list:
+        """Build the per-column HLL sketches from the full columns if absent
+        (reference: sketches built incrementally at load,
+        src/catalog/MetaData.cpp:28-35; here a one-shot vectorized hash pass)."""
+        if self.hll_regs is None:
+            from ..utils import hll
+
+            self.hll_regs = [
+                hll.registers_from_hashes(column_hashes(c.type, c))
+                for c in self.columns
+            ]
+        return self.hll_regs
+
     def column_stats(self) -> list[dict]:
-        """Per-column stats: approximate distinct count (exact on small tables,
-        sample-extrapolated otherwise, standing in for the reference's
-        HyperLogLog sketches), null fraction, min/max for numerics."""
+        """Per-column stats: distinct count (exact on small tables, HyperLogLog
+        estimate otherwise — reference: catalog::ColumnStatistics HLL sketches,
+        MetaData.h:17-30), null count, min/max for numerics (sample-based)."""
+        from ..utils import hll
+
         stats = []
         idx = self.sample_indices()
-        scale = self.num_rows / max(len(idx), 1)
-        for c in self.columns:
+        small = len(idx) >= self.num_rows
+        regs = None if small else self.ensure_hll()
+        for ci, c in enumerate(self.columns):
             s: dict = {}
             if self.num_rows == 0:
                 stats.append({"distinct": 0, "nulls": 0})
                 continue
-            data = c.data[idx] if len(idx) < self.num_rows else c.data
+            data = c.data if small else c.data[idx]
             mask = c.is_valid_mask()
-            m = mask[idx] if len(idx) < self.num_rows else mask
+            m = mask if small else mask[idx]
             vals = data[m]
-            d = len(np.unique(vals))
-            if len(idx) < self.num_rows:
-                # first-order extrapolation (Chao-ish): if nearly all sample values
-                # distinct, assume proportional growth; else assume saturation.
-                if d > 0.8 * len(vals):
-                    d = int(d * scale)
+            if small:
+                d = len(np.unique(vals))
+            else:
+                d = int(hll.estimate(regs[ci]))
+                if int(mask.sum()) < self.num_rows:
+                    d -= 1  # NULLs hash to one fixed value; exclude from distinct
+                d = min(d, self.num_rows)
             s["distinct"] = max(int(d), 1)
             s["nulls"] = int(self.num_rows - mask.sum())
             if c.type.is_numeric or c.type.kind in (K.DATE, K.TIMESTAMP):
-                if len(vals):
+                if len(vals) and vals.dtype != np.object_:
                     s["min"] = int(np.min(vals)) if np.issubdtype(vals.dtype, np.integer) else float(np.min(vals))
                     s["max"] = int(np.max(vals)) if np.issubdtype(vals.dtype, np.integer) else float(np.max(vals))
             stats.append(s)
         return stats
 
     # ---- persistence (Arrow IPC like the reference) -------------------------
-    def save(self, db_dir: str):
+    def to_arrow_table(self, ref_compat: bool = False):
+        """Materialize as a pyarrow Table. `ref_compat` uses the reference's
+        plain physical encodings (utf8 strings, decimal128, fsb(4) chars —
+        LingoDBTable.cpp:141-191) instead of our fast internal forms."""
         import pyarrow as pa
-        import pyarrow.ipc as ipc
 
         arrays, fields = [], []
         for name, t, c in zip(self.column_names, self.column_types, self.columns):
-            arr, f = _to_arrow(name, t, c)
+            arr, f = _to_arrow(name, t, c, decimal_as_int=not ref_compat)
             arrays.append(arr)
             fields.append(f)
-        table = pa.table(dict(zip(self.column_names, arrays)))
-        path = os.path.join(db_dir, f"{self.name}.arrow")
+        return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+    def save(self, db_dir: str, file_name: str | None = None,
+             ref_compat: bool = False):
+        import pyarrow.ipc as ipc
+
+        table = self.to_arrow_table(ref_compat)
+        path = os.path.join(db_dir, file_name or f"{self.name}.arrow")
         with ipc.RecordBatchFileWriter(path, table.schema) as w:
             w.write_table(table)
 
     @staticmethod
-    def load(name: str, db_dir: str, names: list[str], types: list[Type]) -> "TableStorage":
+    def load(name: str, db_dir: str, names: list[str], types: list[Type],
+             file_name: str | None = None) -> "TableStorage":
         import pyarrow.ipc as ipc
 
-        path = os.path.join(db_dir, f"{name}.arrow")
+        path = os.path.join(db_dir, file_name or f"{name}.arrow")
         with ipc.open_file(path) as r:
             table = r.read_all()
         t = TableStorage.create(name, names, types)
@@ -135,6 +175,36 @@ class TableStorage:
         t.columns = cols
         t.num_rows = n
         return t
+
+
+def _hash_string_values(values) -> np.ndarray:
+    """Content hash per distinct string (8-byte blake2b). Used only for the
+    HLL sketch: stable across dictionary re-encodings and appends."""
+    import hashlib
+
+    out = np.empty(len(values), np.uint64)
+    for i, v in enumerate(values):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(str(v).encode(), digest_size=8).digest(), "little")
+    return out
+
+
+def column_hashes(t: Type, c: Column) -> np.ndarray:
+    """Content-stable uint64 hash per row (NULL -> one fixed hash). String
+    hashes depend on string *content*, not per-batch dictionary codes, so
+    sketches built from different appends merge correctly (reference hashes
+    the raw arrow array the same way: MetaData.cpp:14-18)."""
+    from ..ops.hashing import hash_column
+
+    if t.is_string:
+        if c.dictionary is None or len(c.data) == 0:
+            return np.zeros(len(c.data), np.uint64)
+        dh = _hash_string_values(c.dictionary)
+        h = dh[np.asarray(c.data, dtype=np.int64)]
+        if c.valid is not None:
+            h = np.where(c.valid, h, np.uint64(0x9E3779B97F4A7C15))
+        return h
+    return np.asarray(hash_column(c.data, c.valid))
 
 
 def _to_arrow(name: str, t: Type, c: Column, decimal_as_int: bool = True):
@@ -149,8 +219,20 @@ def _to_arrow(name: str, t: Type, c: Column, decimal_as_int: bool = True):
             dct = pa.array(c.dictionary, type=pa.string())
             arr = pa.DictionaryArray.from_arrays(codes, dct)
             return arr, pa.field(name, arr.type, t.nullable)
-        vals = c.dictionary[c.data] if len(c.data) else np.zeros(0, dtype=object)
-        arr = pa.array(vals, type=pa.string(), mask=mask)
+        # reference-compatible plain encoding (its ArrowView has no
+        # dictionary-array path): decode codes -> values in Arrow C++
+        import pyarrow.compute as pc
+
+        dct = pa.array(c.dictionary, type=pa.string())
+        codes = pa.array(c.data.astype(np.int64), mask=mask)
+        arr = pc.take(dct, codes)
+        if t.kind == K.CHAR and (t.p or 1) == 1:
+            # reference stores char<1> as fixed_size_binary(4), zero-padded
+            # utf8 (LingoDBTable.cpp:186, RelationHelper.cpp:149-176)
+            pad = [None if v is None else v.encode().ljust(4, b"\0")
+                   for v in arr.to_pylist()]
+            arr = pa.array(pad, type=pa.binary(4))
+            return arr, pa.field(name, arr.type, t.nullable)
         return arr, pa.field(name, pa.string(), t.nullable)
     if t.kind == K.DECIMAL:
         if c.data.dtype == np.object_:
@@ -210,6 +292,12 @@ def _from_arrow(t: Type, chunked) -> Column:
     if t.is_string:
         from .column import encode_strings
 
+        if pa.types.is_fixed_size_binary(arr.type):
+            # reference char<1> storage: fixed_size_binary(4), zero-padded
+            # utf8 (LingoDBTable.cpp:186)
+            vals = [None if v is None else v.rstrip(b"\0").decode()
+                    for v in arr.to_pylist()]
+            arr = pa.array(vals, type=pa.string())
         if pa.types.is_dictionary(arr.type):
             dct = np.asarray(arr.dictionary.to_pylist(), dtype=object)
             codes = np.asarray(arr.indices.fill_null(0) if arr.null_count else arr.indices)
@@ -248,11 +336,18 @@ def _from_arrow(t: Type, chunked) -> Column:
             return Column(t, np.array(pyvals, dtype=np.int64), valid)
         return Column(t, np.array(pyvals, dtype=np.object_), valid)
     if t.kind == K.DATE:
-        days = np.asarray(arr.cast(pa.int32()))
+        if pa.types.is_date64(arr.type):  # reference date<ms> storage
+            ms = np.asarray(arr.cast(pa.int64()).fill_null(0))
+            return Column(t, (ms // 86_400_000).astype(np.int32), valid)
+        days = np.asarray(arr.cast(pa.int32()).fill_null(0))
         return Column(t, days.astype(np.int32), valid)
     if t.kind == K.TIMESTAMP:
-        us = np.asarray(arr.cast(pa.int64()))
+        if pa.types.is_timestamp(arr.type) and arr.type.unit != "us":
+            arr = arr.cast(pa.timestamp("us"))
+        us = np.asarray(arr.cast(pa.int64()).fill_null(0))
         return Column(t, us.astype(np.int64), valid)
+    if arr.null_count:
+        arr = arr.fill_null(False if pa.types.is_boolean(arr.type) else 0)
     data = np.asarray(arr)
     return Column(t, np.ascontiguousarray(data, dtype=physical_dtype(t)), valid)
 
@@ -273,8 +368,6 @@ def arrow_type_for(t: Type):
         return pa.int32()
     if t.kind == K.BIGINT:
         return pa.int64()
-    if t.kind == K.SMALLINT:
-        return pa.int16()
     if t.kind == K.FLOAT:
         return pa.float32()
     if t.kind == K.DOUBLE:
