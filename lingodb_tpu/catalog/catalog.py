@@ -181,8 +181,10 @@ class Catalog:
                     "num_rows": entry.num_rows,
                     "stats": entry.get_stats(),
                     # HLL sketches persist so appends keep merging instead of
-                    # rescanning (reference: ColumnStatistics in db.lingodb)
-                    "hll": None if regs is None else [bytes(r).hex() for r in regs],
+                    # rescanning (reference: ColumnStatistics in db.lingodb);
+                    # string columns carry None (distinct = dictionary size)
+                    "hll": None if regs is None else [
+                        None if r is None else bytes(r).hex() for r in regs],
                     "indexes": entry.indexes,
                 }
             )
@@ -219,7 +221,8 @@ class Catalog:
             entry.stats_version = storage.version
             if t.get("hll"):
                 storage.hll_regs = [
-                    np.frombuffer(bytes.fromhex(h), dtype=np.uint8).copy()
+                    None if h is None
+                    else np.frombuffer(bytes.fromhex(h), dtype=np.uint8).copy()
                     for h in t["hll"]
                 ]
             self.tables[t["name"]] = entry
@@ -302,7 +305,7 @@ class Catalog:
             buf = io.BytesIO()
             with ipc.RecordBatchStreamWriter(buf, tbl.schema) as w:
                 w.write_table(sample)
-            regs = st.ensure_hll() if st.num_rows else None
+            regs = st.export_hll() if st.num_rows else None
             rc.tables.append(refformat.RefTable(
                 entry.name, entry.column_names, entry.column_types,
                 entry.primary_key, list(entry.indexes.keys()), file_name,

@@ -76,7 +76,8 @@ class TableStorage:
             from ..utils import hll
 
             self.hll_regs = [
-                hll.merge(r, hll.registers_from_hashes(column_hashes(c.type, nc)))
+                None if r is None
+                else hll.merge(r, hll.registers_from_hashes(column_hashes(c.type, nc)))
                 for r, c, nc in zip(self.hll_regs, self.columns, new_cols)
             ]
 
@@ -90,15 +91,43 @@ class TableStorage:
     def ensure_hll(self) -> list:
         """Build the per-column HLL sketches from the full columns if absent
         (reference: sketches built incrementally at load,
-        src/catalog/MetaData.cpp:28-35; here a one-shot vectorized hash pass)."""
+        src/catalog/MetaData.cpp:28-35; here a one-shot vectorized hash pass).
+
+        String columns carry None: their exact distinct count is the
+        dictionary size (the dictionary is precisely the set of values
+        present), so no sketch is needed — hashing every distinct comment
+        string at SF100 would cost minutes of host time for nothing. Export
+        to the reference format builds string sketches on demand from the
+        dictionary (hashing each distinct value once yields the identical
+        sketch, since HLL state depends only on the distinct-hash set)."""
         if self.hll_regs is None:
             from ..utils import hll
 
             self.hll_regs = [
-                hll.registers_from_hashes(column_hashes(c.type, c))
+                None if c.type.is_string
+                else hll.registers_from_hashes(column_hashes(c.type, c))
                 for c in self.columns
             ]
         return self.hll_regs
+
+    def export_hll(self) -> list:
+        """All-column HLL registers for catalog export: string sketches build
+        from the dictionary (each distinct value hashed once — identical
+        sketch to hashing every row, as HLL state depends only on the
+        distinct-hash set), plus the fixed NULL hash when NULLs exist."""
+        from ..utils import hll
+
+        out = []
+        for c, regs in zip(self.columns, self.ensure_hll()):
+            if regs is None:
+                hashes = (_hash_string_values(c.dictionary)
+                          if c.dictionary is not None and len(c.dictionary)
+                          else np.zeros(0, np.uint64))
+                if c.valid is not None and not c.valid.all():
+                    hashes = np.append(hashes, np.uint64(0x9E3779B97F4A7C15))
+                regs = hll.registers_from_hashes(hashes)
+            out.append(regs)
+        return out
 
     def column_stats(self) -> list[dict]:
         """Per-column stats: distinct count (exact on small tables, HyperLogLog
@@ -121,6 +150,9 @@ class TableStorage:
             vals = data[m]
             if small:
                 d = len(np.unique(vals))
+            elif c.type.is_string:
+                # dictionary == set of present values: distinct is exact
+                d = len(c.dictionary) if c.dictionary is not None else 1
             else:
                 d = int(hll.estimate(regs[ci]))
                 if int(mask.sum()) < self.num_rows:
