@@ -39,6 +39,8 @@ def _own_defs(op: L.LogicalOp) -> list[int]:
         return [f.out.cid for f in op.funcs]
     if isinstance(op, L.Tmp):
         return [c.cid for _s, c in op.mapping]
+    if isinstance(op, (L.Iterate, L.IterRef)):
+        return [c.cid for c in op.cols]
     return []
 
 
@@ -97,6 +99,13 @@ def _params(op: L.LogicalOp, canon: dict[int, int]):
         # identity of the holder matters: same holder + same source columns
         return (id(op.holder), tuple(s for s, _c in op.mapping),
                 tuple(str(c.type) for _s, c in op.mapping))
+    if isinstance(op, L.IterRef):
+        # holder identity keeps refs of different loops distinct
+        return ("iterref", id(op.holder), tuple(str(c.type) for c in op.cols))
+    if isinstance(op, L.Iterate):
+        return ("iterate", id(op.holder), op.distinct, op.emit, op.max_iters,
+                tuple(cn(c) for c in op.lmap), tuple(cn(c) for c in op.smap),
+                tuple(str(c.type) for c in op.cols))
     raise TypeError(type(op))
 
 

@@ -150,7 +150,12 @@ def _push(op: L.LogicalOp, preds: list[BExpr]) -> L.LogicalOp:
         return _wrap(op.replace_children([child]), preds)
     if isinstance(op, L.Materialize):
         return L.Materialize(_push(op.child, preds), op.cids, op.names)
-    # leaves: Scan / ConstRel
+    if isinstance(op, L.Iterate):
+        # optimize inside the loop, but never move predicates across the
+        # fixpoint boundary (they would change which rows recurse)
+        return _wrap(op.replace_children(
+            [_push(op.base, []), _push(op.step, [])]), preds)
+    # leaves: Scan / ConstRel / IterRef
     return _wrap(op, preds)
 
 

@@ -54,6 +54,10 @@ def plan_key(op: L.LogicalOp) -> str:
     elif isinstance(op, L.Tmp):
         parts.append(plan_key(op.holder.plan))
         parts.append(repr([(s, c.cid) for s, c in op.mapping]))
+    elif isinstance(op, L.Iterate):
+        parts.append(f"{op.distinct}{op.emit}{op.lmap}{op.smap}")
+    elif isinstance(op, L.IterRef):
+        parts.append(repr([c.cid for c in op.cols]))
     children = ";".join(plan_key(c) for c in op.children())
     return "(" + " ".join(parts) + (("|" + children) if children else "") + ")"
 
@@ -86,6 +90,14 @@ def _enc(v, memo=None):
         idx = len(memo)
         memo[id(v)] = idx
         return {"$tmpholder": idx, "plan": _enc(v.plan, memo)}
+    if isinstance(v, L.IterateHolder):
+        # pure identity: same instance encodes to the same tag
+        if memo is None:
+            memo = {}
+        key = ("it", id(v))
+        if key not in memo:
+            memo[key] = f"it{len(memo)}"
+        return {"$iterholder": memo[key]}
     if dataclasses.is_dataclass(v) and not isinstance(v, type):
         d = {"$cls": type(v).__name__}
         for f in dataclasses.fields(v):
@@ -131,6 +143,13 @@ def _dec(v, memo=None):
             return holder
         if "$tmpref" in v:
             return memo[v["$tmpref"]]
+        if "$iterholder" in v:
+            if memo is None:
+                memo = {}
+            tag = v["$iterholder"]
+            if tag not in memo:
+                memo[tag] = L.IterateHolder()
+            return memo[tag]
         if "$tuple" in v:
             return tuple(_dec(i, memo) for i in v["$tuple"])
         if "$cls" in v:

@@ -208,11 +208,15 @@ class Executor:
                 raise ExecError(
                     f"Iterate exceeded max_iters={op.max_iters} (possible "
                     f"non-terminating recursion)")
+            prev = self._iter_tables.get(op.holder.seq)
             self._iter_tables[op.holder.seq] = cur
             try:
                 out = self.run(op.step)
             finally:
-                self._iter_tables.pop(op.holder.seq, None)
+                if prev is None:
+                    self._iter_tables.pop(op.holder.seq, None)
+                else:
+                    self._iter_tables[op.holder.seq] = prev
             nxt = VTable({c.cid: out.col(s) for c, s in zip(op.cols, op.smap)},
                          out.num_rows)
             if op.distinct:

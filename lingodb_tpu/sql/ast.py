@@ -204,6 +204,7 @@ class CTE:
     name: str
     query: "SelectStmt"
     column_aliases: list[str] = field(default_factory=list)
+    recursive: bool = False  # declared under WITH RECURSIVE
 
 
 @dataclass

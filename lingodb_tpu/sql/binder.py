@@ -27,6 +27,30 @@ class BindError(Exception):
     pass
 
 
+def _references_cte(node, name: str) -> bool:
+    """Does this AST subtree contain a table reference to `name`?
+    (Generic dataclass walk; a nested WITH redefining the name shadows it.)"""
+    import dataclasses
+
+    lname = name.lower()
+
+    def walk(x) -> bool:
+        if isinstance(x, A.BaseTableRef):
+            return x.name.lower() == lname
+        if isinstance(x, A.SelectStmt) and any(
+                c.name.lower() == lname for c in x.ctes):
+            # shadowed: only the shadowing CTE definitions themselves may
+            # still reference the outer name (standard scoping)
+            return any(walk(c.query) for c in x.ctes)
+        if dataclasses.is_dataclass(x) and not isinstance(x, type):
+            return any(walk(getattr(x, f.name)) for f in dataclasses.fields(x))
+        if isinstance(x, (list, tuple)):
+            return any(walk(v) for v in x)
+        return False
+
+    return walk(node)
+
+
 # ----------------------------------------------------------------- aggregates
 AGG_FNS = {
     "sum", "count", "avg", "min", "max", "stddev_samp", "var_samp",
@@ -137,6 +161,11 @@ class Binder:
     def bind_select(self, stmt: A.SelectStmt, scope: Scope) -> tuple[L.LogicalOp, list[ColInfo]]:
         # CTEs register into this scope (visible to subqueries too)
         for cte in stmt.ctes:
+            if (cte.recursive and cte.query.set_op in ("union", "union_all")
+                    and _references_cte(cte.query.right, cte.name)):
+                plan, cols = self.bind_recursive_cte(cte, scope)
+                scope.ctes[cte.name] = (plan, cols)
+                continue
             sub_scope = Scope(scope)
             plan, cols = self.bind_select(cte.query, sub_scope)
             if cte.column_aliases:
@@ -151,6 +180,56 @@ class Binder:
         if stmt.values is not None:
             return self.bind_values(stmt.values, scope, alias="values")
         return self.bind_select_core(stmt, scope)
+
+    def bind_recursive_cte(self, cte: A.CTE, scope: Scope):
+        """WITH RECURSIVE name AS (base UNION [ALL] step): lowers to the
+        Iterate fixpoint operator (reference capability: subop.loop,
+        SubOperatorOps.td:937-953 — the reference has no SQL surface for it;
+        we expose recursive CTEs on top). Column names/types come from the
+        non-recursive term (standard SQL); the step may be any plan
+        (joins, aggregates, window functions) over the self-reference."""
+        q = cte.query
+        if _references_cte(q.left, cte.name):
+            raise BindError(
+                f"recursive reference to {cte.name!r} in the "
+                f"non-recursive term")
+        base_plan, base_cols = self.bind_select(q.left, Scope(scope))
+        names = list(cte.column_aliases) + [
+            c.name for c in base_cols[len(cte.column_aliases):]]
+        out_cols = [self.fresh(n, c.type) for n, c in zip(names, base_cols)]
+        holder = L.IterateHolder()
+        template = L.IterRef(holder, list(out_cols))
+
+        step_scope = Scope(scope)
+        step_scope.ctes[cte.name] = (template, out_cols)
+        step_plan, step_cols = self.bind_select(q.right, step_scope)
+        if len(step_cols) != len(base_cols):
+            raise BindError(
+                f"recursive CTE {cte.name!r}: column count mismatch between "
+                f"terms ({len(base_cols)} vs {len(step_cols)})")
+        casts, smap = [], []
+        for oc, sc_ in zip(out_cols, step_cols):
+            if sc_.type.base_eq(oc.type):
+                smap.append(sc_.cid)
+            else:
+                nc = self.fresh(sc_.name, oc.type)
+                casts.append((nc, Cast(ColRef(sc_.cid, sc_.type), oc.type)))
+                smap.append(nc.cid)
+        if casts:
+            step_plan = L.Map(step_plan, casts)
+        from ..utils.settings import MAX_RECURSION
+
+        plan: L.LogicalOp = L.Iterate(
+            holder, base_plan, step_plan, out_cols,
+            distinct=(q.set_op == "union"),
+            lmap=[c.cid for c in base_cols], smap=smap,
+            max_iters=MAX_RECURSION.get() or (1 << 62))
+        if q.order_by or q.limit is not None:
+            sscope = Scope(scope)
+            sscope.add(TableBinding("", out_cols))
+            plan, out_cols = self._apply_order_limit(
+                plan, out_cols, q, sscope, out_cols)
+        return plan, out_cols
 
     def bind_setop(self, stmt: A.SelectStmt, scope: Scope):
         lplan, lcols = self.bind_select(stmt.left, Scope(scope))
@@ -326,10 +405,12 @@ class Binder:
         if isinstance(op, L.Map):
             return L.Map(children[0], [(mc(c), m(e)) for c, e in op.computed])
         if isinstance(op, L.Join):
+            na = op.null_aware
             return L.Join(
                 op.kind, children[0], children[1],
                 None if op.predicate is None else m(op.predicate),
                 mc(op.mark_col) if op.mark_col else None,
+                None if na is None else tuple(m(x) for x in na),
             )
         if isinstance(op, L.Aggregate):
             return L.Aggregate(
@@ -366,6 +447,18 @@ class Binder:
             )
         if isinstance(op, L.Materialize):
             return L.Materialize(children[0], [mapping.get(c, c) for c in op.cids], list(op.names))
+        if isinstance(op, L.IterRef):
+            # holder identity is shared across clones: CSE can then collapse
+            # duplicate references to one materialized fixpoint
+            return L.IterRef(op.holder, [mc(c) for c in op.cols])
+        if isinstance(op, L.Iterate):
+            return L.Iterate(
+                op.holder, children[0], children[1], [mc(c) for c in op.cols],
+                op.distinct,
+                [mapping.get(c, c) for c in op.lmap],
+                [mapping.get(c, c) for c in op.smap],
+                op.emit, op.max_iters,
+            )
         raise BindError(f"cannot clone {type(op).__name__}")
 
     def bind_join(self, ref: A.JoinRef, scope: Scope) -> L.LogicalOp:

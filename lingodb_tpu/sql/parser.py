@@ -437,7 +437,7 @@ class Parser:
             return self.parse_pipe_sql()
         ctes: list[A.CTE] = []
         if self.accept_kw("with"):
-            self.accept_kw("recursive")
+            recursive = self.accept_kw("recursive")
             while True:
                 name = self.ident()
                 col_aliases = []
@@ -452,7 +452,7 @@ class Parser:
                 self.expect_op("(")
                 q = self.parse_select()
                 self.expect_op(")")
-                ctes.append(A.CTE(name, q, col_aliases))
+                ctes.append(A.CTE(name, q, col_aliases, recursive))
                 if not self.accept_op(","):
                     break
         stmt = self.parse_set_expr()

@@ -76,6 +76,10 @@ SNAPSHOT_PASSES = Setting("system.snapshot_passes", False, bool)
 SNAPSHOT_DIR = Setting("system.snapshot_dir", ".")
 EAGER_LOADING = Setting("system.eager_loading", False, bool)
 OPT_PASSES = Setting("system.opt", "")  # comma list restricting optimizer passes
+# iteration cap for Iterate/WITH RECURSIVE (0 = unlimited); the analogue of
+# MSSQL's MAXRECURSION — the reference's subop.loop has no cap (explicit
+# continue flags), SQL recursion needs a runaway guard
+MAX_RECURSION = Setting("system.max_recursion", 10_000, int)
 REPORT_TIMES = Setting("sql.report_times", False, bool)
 TRACK_TUPLES = Setting("system.track_tuples", False, bool)
 JOIN_ORDER = Setting("system.join_order", True, bool)
