@@ -120,9 +120,12 @@ class UDFWorker:
         if self.proc is not None and self.proc.poll() is None:
             return
         env = {"PATH": "/usr/bin:/bin",
+               # minimal environment; module search path mirrors the parent
+               # so numpy resolves, nothing else leaks
+               "PYTHONPATH": os.pathsep.join(p for p in sys.path if p),
                "LINGODB_UDF_MEMORY_MB": str(self.memory_mb)}
         self.proc = subprocess.Popen(
-            [sys.executable, "-E", "-S", "-c", _WORKER_SOURCE],
+            [sys.executable, "-c", _WORKER_SOURCE],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE, env=env)
         self.defined = set()
 

@@ -117,7 +117,10 @@ void udf_vec(int64_t n, {vec_params}, {c_ret[0]}* restrict out) {{
 def make_python_udf(name: str, arg_names: list[str], arg_types: list[Type],
                     ret_type: Type, body: str):
     """Python UDF: the body is a function definition or expression executed
-    per batch with numpy broadcasting when possible, else per row."""
+    per batch with numpy broadcasting when possible, else per row. With
+    `SET udf_isolation = 'process'` the batch evaluates in a persistent
+    isolated worker process instead (runtime/sandbox.py; reference:
+    per-worker sub-interpreters + WASM runtime)."""
     ns: dict = {"np": np}
     code = body.strip()
     try:
@@ -137,8 +140,19 @@ def make_python_udf(name: str, arg_names: list[str], arg_types: list[Type],
 
     out_dt = (np.dtype(object) if ret_type.is_string
               else np.dtype(jnp_dtype(ret_type)))
+    key = name + ":" + hashlib.md5(code.encode()).hexdigest()[:16]
 
     def call(arrays: list[np.ndarray]) -> np.ndarray:
+        from ..utils.settings import UDF_ISOLATION
+
+        if UDF_ISOLATION.get() == "process":
+            from .sandbox import SandboxError, global_worker
+
+            try:
+                out = global_worker().call(key, code, name, list(arrays))
+            except SandboxError as e:
+                raise UDFError(str(e))
+            return out if out_dt == object else np.asarray(out).astype(out_dt)
         try:
             out = fn(*arrays)
             out = np.asarray(out)

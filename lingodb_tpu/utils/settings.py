@@ -80,6 +80,12 @@ OPT_PASSES = Setting("system.opt", "")  # comma list restricting optimizer passe
 # MSSQL's MAXRECURSION — the reference's subop.loop has no cap (explicit
 # continue flags), SQL recursion needs a runaway guard
 MAX_RECURSION = Setting("system.max_recursion", 10_000, int)
+# python UDF execution: "none" = in-process numpy (fastest), "process" =
+# persistent isolated worker process (reference: per-worker CPython
+# sub-interpreters, Scheduler.cpp:941-954, and the WASM UDF runtime,
+# src/runtime/WASM.cpp — crash/hang isolation from user code)
+UDF_ISOLATION = Setting("system.udf_isolation", "none")
+UDF_MEMORY_MB = Setting("system.udf_memory_mb", 0, int)  # worker RLIMIT_AS
 REPORT_TIMES = Setting("sql.report_times", False, bool)
 TRACK_TUPLES = Setting("system.track_tuples", False, bool)
 JOIN_ORDER = Setting("system.join_order", True, bool)
