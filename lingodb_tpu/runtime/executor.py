@@ -53,14 +53,29 @@ class Executor:
         # Iterate working tables, keyed by IterateHolder.seq while a loop
         # body is being dispatched (reference: subop.loop region argument)
         self._iter_tables: dict[int, VTable] = {}
+        self._mode = "DEFAULT"
+        self.last_op_profile: list | None = None
 
     # ------------------------------------------------------------- dispatch
     def execute(self, plan: L.Materialize) -> ResultTable:
         from . import device as dv
+        from ..utils.settings import EXECUTION_MODE
 
         self._tmp_results.clear()
+        # execution modes (reference: ExecutionMode + CPULLVMDebugBackend /
+        # perf backend, src/execution/LLVMBackends.cpp:939-1010):
+        #   DEFAULT  fast path
+        #   DEBUG    verify every operator's output invariants
+        #   PERF     per-operator wall-time/row profile in last_op_profile
+        self._mode = str(EXECUTION_MODE.get()).upper()
+        self.last_op_profile = [] if self._mode == "PERF" else None
         with tracer.Trace("execution", "run_plan"):
             vt = self.run(plan.child)
+        if self.last_op_profile is not None:
+            import sys
+
+            for name, ms, rows in self.last_op_profile:
+                print(f"# perf {name}: {ms:.3f}ms rows={rows}", file=sys.stderr)
         # ONE packed device->host transfer for the whole result
         needed = VTable({cid: vt.col(cid) for cid in set(plan.cids)}, vt.num_rows)
         host = dv.fetch_vtable_np(needed) if vt.num_rows else {}
@@ -82,7 +97,21 @@ class Executor:
         method = getattr(self, "_run_" + type(op).__name__.lower(), None)
         if method is None:
             raise ExecError(f"no executor for {type(op).__name__}")
-        vt = method(op)
+        if self.last_op_profile is not None:
+            import time as _time
+
+            t0 = _time.perf_counter()
+            vt = method(op)
+            # wall time of dispatch; device completion lands on whichever
+            # operator forces the next host sync (the executor's documented
+            # one-sync-per-size-changing-op contract)
+            self.last_op_profile.append(
+                (type(op).__name__, (_time.perf_counter() - t0) * 1e3,
+                 vt.num_rows))
+        else:
+            vt = method(op)
+        if getattr(self, "_mode", "DEFAULT") == "DEBUG":
+            self._debug_verify(op, vt)
         if self.track_tuples is not None:
             # per-operator output cardinalities (reference: relalg.track_tuples
             # / subop.set_tracked_count, RelAlgOps.td:530, ExecutionContext.h:63)
@@ -94,6 +123,37 @@ class Executor:
 
             vt = dv.demote_small(vt)
         return vt
+
+    def _debug_verify(self, op: L.LogicalOp, vt: VTable) -> None:
+        """DEBUG execution mode: operator-output invariant checks (the
+        analogue of the reference's CPULLVMDebugBackend, which runs the
+        generated program with verification enabled). Fused pipelines verify
+        at their stage boundary."""
+        n = vt.num_rows
+        if not isinstance(n, int) or n < 0:
+            raise ExecError(f"DEBUG {type(op).__name__}: bad num_rows {n!r}")
+        for cid, c in vt.cols.items():
+            shape = getattr(c.data, "shape", None)
+            if shape is not None and shape != () and shape[0] != n:
+                raise ExecError(
+                    f"DEBUG {type(op).__name__}: column {cid} has "
+                    f"{shape[0]} rows, table has {n}")
+            if c.valid is not None and getattr(c.valid, "shape", (n,))[0] != n:
+                raise ExecError(
+                    f"DEBUG {type(op).__name__}: column {cid} validity "
+                    f"length mismatch")
+            d = c.dictionary
+            if d is not None and len(d) > 1:
+                if not all(d[i] <= d[i + 1] for i in range(len(d) - 1)):
+                    raise ExecError(
+                        f"DEBUG {type(op).__name__}: column {cid} dictionary "
+                        f"not sorted (order-preserving code invariant broken)")
+        produced = {c.cid for c in op.output_cols()}
+        missing = produced - set(vt.cols)
+        if missing:
+            raise ExecError(
+                f"DEBUG {type(op).__name__}: output columns {missing} "
+                f"missing from result")
 
     # ------------------------------------------------------------- leaves
     def _run_scan(self, op: L.Scan) -> VTable:
