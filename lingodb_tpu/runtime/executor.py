@@ -55,6 +55,10 @@ class Executor:
         self._iter_tables: dict[int, VTable] = {}
         self._mode = "DEFAULT"
         self.last_op_profile: list | None = None
+        # one-shot results stashed by _try_fused_agg when it materializes a
+        # spine base and then declines to fuse: the eager fallback consumes
+        # them instead of re-executing the subtree (id(node) -> VTable)
+        self._materialized_bases: dict[int, VTable] = {}
 
     # ------------------------------------------------------------- dispatch
     def execute(self, plan: L.Materialize) -> ResultTable:
@@ -62,6 +66,7 @@ class Executor:
         from ..utils.settings import EXECUTION_MODE
 
         self._tmp_results.clear()
+        self._materialized_bases.clear()
         # execution modes (reference: ExecutionMode + CPULLVMDebugBackend /
         # perf backend, src/execution/LLVMBackends.cpp:939-1010):
         #   DEFAULT  fast path
@@ -94,6 +99,9 @@ class Executor:
         return ResultTable(names, types, cols, valids, dicts, vt.num_rows)
 
     def run(self, op: L.LogicalOp) -> VTable:
+        stashed = self._materialized_bases.pop(id(op), None)
+        if stashed is not None:
+            return stashed
         method = getattr(self, "_run_" + type(op).__name__.lower(), None)
         if method is None:
             raise ExecError(f"no executor for {type(op).__name__}")
@@ -661,6 +669,10 @@ class Executor:
             # analogue of the reference scanning a pipeline breaker's result
             # buffer in the next pipeline (SubOpToControlFlow state scans)
             base_vt = self.run(cur)
+            # stash immediately: if ANY later check declines to fuse, the
+            # eager fallback consumes this instead of re-executing the
+            # subtree (pagerank-style loops under an aggregate ran twice)
+            self._materialized_bases[id(cur)] = base_vt
             n = base_vt.num_rows
             if n < dv.SMALL_ROWS:
                 return None

@@ -120,6 +120,42 @@ def run_plan(argv: list[str]) -> int:
     return 0
 
 
+def profile(argv: list[str]) -> int:
+    """Per-pass plan snapshots + per-operator and per-phase timings + host HW
+    counters for one query (the reference's ct / pass-profiler / PerfEvent
+    tooling surface, tools/ct + Instrumentation.cpp + PerfEvent.h)."""
+    if not argv:
+        print("usage: profile <file.sql|query> [db-dir]", file=sys.stderr)
+        return 2
+    import os
+
+    from ..opt import optimizer
+    from ..utils.perf import PerfEvent
+    from ..utils.settings import EXECUTION_MODE, SNAPSHOT_PASSES
+
+    q = open(argv[0]).read() if os.path.exists(argv[0]) else argv[0]
+    session = _open_session(argv[1] if len(argv) > 1 else None)
+    EXECUTION_MODE.set("PERF")
+    SNAPSHOT_PASSES.set(True)
+    with PerfEvent() as pe:
+        result = session.sql(q)
+    for name, text in optimizer.last_pass_snapshots or []:
+        print(f"== after {name} ==\n{text}")
+    prof = session.executor.last_op_profile or []
+    total = sum(ms for _n, ms, _r in prof)
+    print("== operator profile ==")
+    for name, ms, rows in prof:
+        print(f"  {name:<14} {ms:9.3f}ms  rows={rows}")
+    print(f"  {'TOTAL':<14} {total:9.3f}ms")
+    if pe.supported:
+        print("== host counters ==")
+        for k, v in pe.counters.items():
+            print(f"  {k}: {v}")
+    if result is not None:
+        print(result.pretty(max_rows=20))
+    return 0
+
+
 TOOLS = {
     "sql": repl,
     "run-sql": run_sql,
@@ -127,6 +163,7 @@ TOOLS = {
     "sql-to-json": sql_to_json,
     "run-plan": run_plan,
     "sqlite-tester": sqlite_tester,
+    "profile": profile,
 }
 
 
