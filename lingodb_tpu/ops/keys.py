@@ -58,11 +58,11 @@ def descending(img: jnp.ndarray) -> jnp.ndarray:
     return ~img
 
 
-def sort_permutation(key_cols: list[tuple[SCol, bool, bool | None]], n: int) -> jnp.ndarray:
-    """Stable sort permutation for multi-key ORDER BY.
-
-    key_cols: (col, ascending, nulls_first?) — nulls_first None means SQL
-    default (last when ascending, first when descending)."""
+def sort_operands(key_cols: list[tuple[SCol, bool, bool | None]]) -> list:
+    """Integer operand list whose lexicographic ascending order equals the
+    requested multi-key SQL order (null flags interleaved, descending keys
+    bit-flipped). Shared by the local sort path and the distributed
+    sample-sort's range partitioning."""
     operands = []
     for c, asc, nf in key_cols:
         if nf is None:
@@ -78,6 +78,15 @@ def sort_permutation(key_cols: list[tuple[SCol, bool, bool | None]], n: int) -> 
             if not asc:
                 img = descending(img)
             operands.append(img)
+    return operands
+
+
+def sort_permutation(key_cols: list[tuple[SCol, bool, bool | None]], n: int) -> jnp.ndarray:
+    """Stable sort permutation for multi-key ORDER BY.
+
+    key_cols: (col, ascending, nulls_first?) — nulls_first None means SQL
+    default (last when ascending, first when descending)."""
+    operands = sort_operands(key_cols)
     iota = jnp.arange(n, dtype=jnp.int64)
     operands.append(iota)
     operands = [jnp.broadcast_to(o, (n,)) for o in operands]

@@ -35,7 +35,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 # observability: how often each shuffle strategy ran (tests assert on these)
-STATS = {"exchanges": 0, "joins": 0, "groupbys": 0, "skew_splits": 0}
+STATS = {"exchanges": 0, "joins": 0, "groupbys": 0, "skew_splits": 0,
+         "sorts": 0}
 
 _JIT_CACHE: dict = {}
 
@@ -311,6 +312,82 @@ def _group_fn(mesh, n_imgs, n_reps, agg_descr):
     n_out = 1 + n_reps + sum(1 if k == "count" else 2 for k, _d in agg_descr)
     return jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=(P(ax),) * n_in, out_specs=(P(ax),) * n_out))
+
+
+def _range_dest_fn(mesh, n_ops, n_split, dtypes):
+    """dest[i] = number of splitter tuples lexicographically <= row i."""
+
+    def fn(*args):
+        sps = args[:n_ops]
+        ops = args[n_ops:]
+        rows = ops[0].shape[0]
+        dest = jnp.zeros((rows,), jnp.int32)
+        for j in range(n_split):
+            ge = None
+            eq = None
+            for o, sp in zip(ops, sps):
+                v = sp[j]
+                gt_here = o > v
+                eq_here = o == v
+                if ge is None:
+                    ge, eq = gt_here, eq_here
+                else:
+                    ge = ge | (eq & gt_here)
+                    eq = eq & eq_here
+            dest = dest + (ge | eq).astype(jnp.int32)
+        return dest
+
+    return jax.jit(fn)
+
+
+def _local_sort_fn(mesh, n_keys, dtypes):
+    ax = _axis(mesh)
+
+    def local(valid, *arrs):
+        pad_key = (~valid).astype(jnp.int32)  # padding sorts after real rows
+        out = jax.lax.sort([pad_key, *arrs], num_keys=1 + n_keys)
+        return (out[0] == 0,) + tuple(out[1:])
+
+    k = len(dtypes) + 1
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(ax),) * k, out_specs=(P(ax),) * k))
+
+
+def sample_sort(mesh, operands: list, payload: list):
+    """Distributed sample-sort (reference gap: the C++ engine's parallel
+    merge sort, src/runtime/Sorting.cpp; TPU-natively: sample lexicographic
+    splitter tuples, range-partition rows over the mesh with the exact-
+    capacity ragged all-to-all, then sort each shard locally — equal keys
+    colocate, so concatenating shards in order is the global sort).
+
+    operands: int images in lexicographic sort order (ops/keys.sort_operands)
+    payload: additional row-aligned arrays permuted along.
+    Returns (valid, arrays(global n_shards*cap), cap): shard s's real rows
+    occupy [s*cap, s*cap+count_s) in sorted order; arrays = operands then
+    payload. Skew note: duplicate-heavy splitters degrade balance, never
+    correctness (ties route to one shard by construction)."""
+    ax = _axis(mesh)
+    n = mesh.shape[ax]
+    rows = int(operands[0].shape[0])
+    # deterministic splitter sample (one small host fetch per operand)
+    k = int(min(rows, max(n * 32, 256)))
+    idx = jnp.asarray(np.linspace(0, rows - 1, k).astype(np.int64))
+    samples = [np.asarray(jax.device_get(jnp.take(o, idx))) for o in operands]
+    order = np.lexsort(tuple(reversed(samples)))
+    qpos = [min((i + 1) * k // n, k - 1) for i in range(n - 1)]
+    sps = [jnp.asarray(s[order][qpos]) for s in samples]
+    dts = tuple(str(o.dtype) for o in operands)
+    dfn = _cached(("rdest", n, len(operands), n - 1, dts),
+                  lambda: _range_dest_fn(mesh, len(operands), n - 1, dts))
+    dest = dfn(*sps, *operands)
+    valid, arrs, glen = exchange(mesh, dest, list(operands) + list(payload))
+    cap = glen // n
+    all_d = tuple(str(a.dtype) for a in arrs)
+    sfn = _cached(("lsort", n, len(operands), all_d, cap),
+                  lambda: _local_sort_fn(mesh, len(operands), all_d))
+    out = sfn(valid, *arrs)
+    STATS["sorts"] += 1
+    return out[0], list(out[1:]), cap
 
 
 def grouped_reduce(mesh, valid, key_imgs: list, rep_cols: list, aggs: list):

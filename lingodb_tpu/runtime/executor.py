@@ -214,11 +214,53 @@ class Executor:
         vt = self.run(op.child)
         if vt.num_rows == 0:
             return vt
+        dist = self._try_distributed_sort(op, vt)
+        if dist is not None:
+            return dist
         perm = keymod.sort_permutation(
             [(vt.col(k.cid), k.ascending, k.nulls_first) for k in op.keys],
             vt.num_rows,
         )
         return vt.take(perm, vt.num_rows)
+
+    def _try_distributed_sort(self, op: L.Sort, vt: VTable) -> Optional[VTable]:
+        """Distributed sample-sort over the mesh: range-partition by sampled
+        lexicographic splitters, sort locally per shard (parallel/shuffle.py
+        sample_sort; reference analogue: the parallel merge sort in
+        src/runtime/Sorting.cpp). Replaces the replicated whole-table sort
+        for large sharded inputs."""
+        from . import device as dv
+        from ..parallel import shuffle as sh
+        from ..utils.settings import get_setting
+
+        mesh = dv.get_mesh()
+        n = vt.num_rows
+        if mesh is None or n < int(get_setting("system.shuffle_min_rows")):
+            return None
+        if any(getattr(c.data, "dtype", None) == np.object_
+               for c in vt.cols.values()):
+            return None  # wide python-int decimals: host objects cannot ship
+
+        import jax.numpy as jnx
+
+        key_cols = [(vt.col(k.cid), k.ascending, k.nulls_first)
+                    for k in op.keys]
+        operands = [jnx.broadcast_to(jnx.asarray(o), (n,))
+                    for o in keymod.sort_operands(key_cols)]
+        # original row index: stability tiebreak AND makes splitter tuples
+        # unique, which keeps duplicate-heavy key ranges balanced
+        operands.append(jnx.arange(n, dtype=jnx.int64))
+        layout, arrays = _flatten_vt(vt)
+        arrays = [jnx.broadcast_to(jnx.asarray(a), (n,)) for a in arrays]
+        valid, out, _cap = sh.sample_sort(mesh, operands, arrays)
+        v_np = np.asarray(jax.device_get(valid))
+        total = int(v_np.sum())
+        if total != n:
+            raise ExecError(
+                f"distributed sort row mismatch: {total} of {n} rows routed")
+        idx = jnp.asarray(np.flatnonzero(v_np))
+        cols_sorted = [jnp.take(a, idx) for a in out[len(operands):]]
+        return _rebuild_vt(vt, layout, cols_sorted, n)
 
     def _run_topk(self, op: L.TopK) -> VTable:
         vt = self.run(op.child)
@@ -1159,9 +1201,11 @@ class Executor:
         lkeys, rkeys, null_safe = extract_equi_keys(op.predicate, lcids, rcids)
 
         if not lkeys:
-            # no equi keys: block nested loop via full cross product
+            # no equi keys: nested loop via cross-product pairs; large inputs
+            # go through the blockwise driver so pair buffers never exceed
+            # 2^26 (reference: morsel-wise nested-loop join — any size)
             if nl * nr > (1 << 26):
-                raise ExecError("non-equi join too large for nested-loop fallback")
+                return self._chunked_nonequi_join(op, kind, lvt, rvt)
             pidx, bidx, total = _all_pairs(nl, nr)
         else:
             lk, rk = [], []
@@ -1180,7 +1224,12 @@ class Executor:
             # probe with the left side, build on the right
             pidx, bidx, total = joinops.candidate_pairs(rk, lk, nr, nl, tuple(null_safe))
 
-        # verify full predicate on candidate pairs
+        return self._finish_pairs_join(op, kind, lvt, rvt, pidx, bidx, total)
+
+    def _finish_pairs_join(self, op, kind, lvt, rvt, pidx, bidx, total) -> VTable:
+        """Evaluate the full predicate on candidate pairs and assemble the
+        join result for every join kind."""
+        nl, nr = lvt.num_rows, rvt.num_rows
         if total > 0 and op.predicate is not None:
             env = _pair_env(lvt, rvt, pidx, bidx, op.predicate)
             mask = sc.truth_mask(sc.eval_expr(op.predicate, env))
@@ -1256,6 +1305,45 @@ class Executor:
             for p in parts[1:]:
                 out = _vconcat(out, p, op.output_cols())
             return out
+        raise ExecError(f"unsupported join kind {kind}")
+
+    def _chunked_nonequi_join(self, op, kind, lvt: VTable, rvt: VTable) -> VTable:
+        """Blockwise nested loop for non-equi joins whose full pair matrix
+        exceeds the 2^26 buffer bound: the left side processes in chunks of
+        C = 2^26 / nr rows against the whole right side, so every kind's
+        per-left-row decisions stay exact (reference: the morsel-driven
+        nested-loop join handles any size; we match that without ever
+        materializing more than one chunk of pairs)."""
+        nl, nr = lvt.num_rows, rvt.num_rows
+        C = max(1, (1 << 26) // max(nr, 1))
+        parts: list[VTable] = []
+        matched_r = jnp.zeros((nr,), jnp.bool_)  # for full: right side matched
+        chunk_kind = "left" if kind == "full" else kind
+        for lo in range(0, nl, C):
+            hi = min(lo + C, nl)
+            idx = jnp.arange(lo, hi, dtype=jnp.int64)
+            lch = lvt.take(idx, hi - lo)
+            pidx, bidx, total = _all_pairs(hi - lo, nr)
+            if kind == "full":
+                env = _pair_env(lch, rvt, pidx, bidx, op.predicate)
+                mask = jnp.broadcast_to(
+                    sc.truth_mask(sc.eval_expr(op.predicate, env)), (total,))
+                matched_r = matched_r | joinops.matched_flags(bidx, mask, nr)
+            parts.append(self._finish_pairs_join(
+                op, chunk_kind, lch, rvt, pidx, bidx, total))
+        out = parts[0]
+        ocols = op.output_cols()
+        for p in parts[1:]:
+            out = _vconcat(out, p, ocols)
+        if kind == "full":
+            n_ur = int(jnp.sum(~matched_r))
+            if n_ur:
+                (ui,) = jnp.nonzero(~matched_r, size=n_ur)
+                cols = {cid: _null_scol(lvt.col(cid), n_ur) for cid in lvt.cols}
+                for c in op.right.output_cols():
+                    cols[c.cid] = rvt.col(c.cid).take(ui)
+                out = _vconcat(out, VTable(cols, n_ur), ocols)
+        return out
         raise ExecError(f"join kind {kind}")
 
     def _null_aware_fix(self, null_aware, lvt, rvt, keep_mask):

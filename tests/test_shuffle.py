@@ -159,3 +159,39 @@ def test_inputs_stay_row_sharded(env):
 
     got = np_.asarray(outs[0])[np_.asarray(valid)]
     assert sorted(got.tolist()) == list(range(n))
+
+
+def test_distributed_sample_sort(env):
+    """ORDER BY over the mesh runs the sample-sort (range partition +
+    per-shard local sort) instead of a replicated whole-table sort, and
+    matches sqlite's ordering exactly (reference: parallel merge sort,
+    src/runtime/Sorting.cpp)."""
+    from lingodb_tpu.parallel import shuffle as sh
+    from lingodb_tpu.tools import sqlite_oracle as so
+
+    s, con = env
+    for k in sh.STATS:
+        sh.STATS[k] = 0
+    q = ("select okey, qty, flag from lines"
+         " order by flag desc, qty, okey nulls first")
+    ours = so.our_rows(s.sql(q))
+    theirs = con.execute(q).fetchall()
+    ok, msg = so.rows_equal(ours, theirs, ordered=True)
+    assert ok, msg
+    assert sh.STATS["sorts"] >= 1, "sample-sort path did not run"
+    assert len(ours) == 6000
+
+
+def test_distributed_sort_single_key_desc(env):
+    from lingodb_tpu.parallel import shuffle as sh
+    from lingodb_tpu.tools import sqlite_oracle as so
+
+    s, con = env
+    for k in sh.STATS:
+        sh.STATS[k] = 0
+    q = "select qty from lines order by qty desc"
+    ours = so.our_rows(s.sql(q))
+    theirs = con.execute(q).fetchall()
+    ok, msg = so.rows_equal(ours, theirs, ordered=True)
+    assert ok, msg
+    assert sh.STATS["sorts"] >= 1
