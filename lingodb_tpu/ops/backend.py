@@ -23,6 +23,12 @@ def is_jax(x) -> bool:
     return isinstance(x, (jax.Array, jax.core.Tracer))
 
 
+def is_tracer(x) -> bool:
+    """True only under an active trace (jit): the value CANNOT leave the
+    device; a concrete jax.Array can (device_get)."""
+    return isinstance(x, jax.core.Tracer)
+
+
 def any_jax(*values) -> bool:
     for v in jax.tree_util.tree_leaves(values):
         if is_jax(v):

@@ -908,15 +908,16 @@ def _dec_logical(c: SCol):
 def _decimal_arith(op: str, a: SCol, b: SCol, t: Type, valid) -> SCol:
     xa, sa = _dec_logical(a)
     xb, sb = _dec_logical(b)
-    from .backend import is_jax
+    from .backend import is_jax, is_tracer
 
     if sa is not None and sb is not None and (
             is_obj(xa) or is_obj(xb)
-            or (dec_is_wide(t) and not (is_jax(xa) or is_jax(xb)))):
-        # a side needs >63 bits, or a host-resident result may: compute
-        # exactly in Python ints (overflow-detected by construction — the
-        # reference's i128 path, LowerToStd.cpp:128-330); a device-resident
-        # side is fetched first
+            or (dec_is_wide(t) and not (is_tracer(xa) or is_tracer(xb)))):
+        # a side needs >63 bits, or the result type may: compute exactly in
+        # Python ints (overflow-detected by construction — the reference's
+        # i128 path, LowerToStd.cpp:128-330); concrete device arrays are
+        # fetched first (only live tracers must stay on the int64 path —
+        # fused pipelines exclude wide decimals up front)
         data, zero = decwide.arith(
             op, decwide.to_obj(xa), decwide.to_obj(xb), sa, sb, t.s)
         if zero is not None:

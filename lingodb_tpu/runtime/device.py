@@ -137,6 +137,14 @@ def fetch_arrays_np(arrays: dict) -> dict:
 
     if not any_jax(arrays):
         return {k: np.asarray(a) for k, a in arrays.items()}
+    from ..ops.backend import is_jax
+
+    # host-resident planes (incl. object-dtype wide decimals) pass through;
+    # only device arrays ride the packed transfer
+    host_part = {k: np.asarray(a) for k, a in arrays.items() if not is_jax(a)}
+    arrays = {k: a for k, a in arrays.items() if is_jax(a)}
+    if not arrays:
+        return host_part
     dtypes = {k: np.dtype(a.dtype) for k, a in arrays.items()}
     packed_i, packed_f = _pack_lanes({k: a for k, a in arrays.items()})
     host_i, host_f = jax.device_get((packed_i, packed_f))
@@ -151,6 +159,7 @@ def fetch_arrays_np(arrays: dict) -> dict:
         else:
             out[key] = host_i[ii].astype(dt)
             ii += 1
+    out.update(host_part)
     return out
 
 

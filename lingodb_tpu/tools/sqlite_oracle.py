@@ -78,11 +78,37 @@ def adapt_for_sqlite(sql: str) -> str:
     # 294/304 would integer-divide to 0; force REAL
     sql = re.sub(r"as\s+(?:decimal|numeric)\s*(?:\(\s*\d+\s*(?:,\s*\d+)?\s*\))?",
                  "AS REAL", sql, flags=re.IGNORECASE)
-    # extract(year from X)
+    # extract(part from X)
+    _FMT = {"year": "%Y", "month": "%m", "day": "%d", "hour": "%H",
+            "minute": "%M", "second": "%S"}
+
+    def _extract(m):
+        part = m.group(1).lower()
+        return f"CAST(strftime('{_FMT[part]}', {m.group(2)}) AS INTEGER)"
+
     sql = re.sub(
-        r"extract\s*\(\s*year\s+from\s+([^)]+)\)",
-        r"CAST(strftime('%Y', \1) AS INTEGER)", sql, flags=re.IGNORECASE,
+        r"extract\s*\(\s*(year|month|day|hour|minute|second)\s+from\s+([^)]+)\)",
+        _extract, sql, flags=re.IGNORECASE,
     )
+    # date_trunc('unit', X) -> strftime truncation (minute/hour enough for
+    # the suites; comparisons/grouping stay consistent as strings)
+    _TRUNC = {"minute": "%Y-%m-%d %H:%M:00", "hour": "%Y-%m-%d %H:00:00",
+              "day": "%Y-%m-%d 00:00:00"}
+
+    def _dtrunc(m):
+        return f"strftime('{_TRUNC[m.group(1).lower()]}', {m.group(2)})"
+
+    sql = re.sub(
+        r"date_trunc\s*\(\s*'(minute|hour|day)'\s*,\s*([^)]+)\)",
+        _dtrunc, sql, flags=re.IGNORECASE,
+    )
+    # postgres :: casts
+    sql = re.sub(r"::\s*(?:float8|float4|float|double(?:\s+precision)?|real"
+                 r"|decimal(?:\([^)]*\))?|numeric(?:\([^)]*\))?)",
+                 " + 0.0", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"::\s*(?:bigint|integer|int)", " + 0", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"::\s*(?:varchar(?:\(\d+\))?|text|string)", " || ''", sql,
+                 flags=re.IGNORECASE)
     # substring(x from a for b)
     sql = re.sub(
         r"substring\s*\(\s*(\w+(?:\.\w+)?)\s+from\s+(\d+)\s+for\s+(\d+)\s*\)",
@@ -206,6 +232,15 @@ def run_sqlite(conn, sql: str) -> list[tuple]:
         conn.create_aggregate("stddev", 1, _StdDev)
         conn.create_aggregate("var_samp", 1, _VarSamp)
         conn.create_aggregate("variance", 1, _VarSamp)
+        import math
+        import re as _re
+
+        conn.create_function(
+            "sqrt", 1,
+            lambda x: None if x is None or x < 0 else math.sqrt(x))
+        conn.create_function(
+            "regexp_replace", 3,
+            lambda s, p, r: None if s is None else _re.sub(p, r, s))
     except Exception:
         pass
     cur = conn.cursor()
@@ -281,6 +316,10 @@ def our_rows(res) -> list[list]:
                 row.append(float(v))
             elif t.kind == K.DATE:
                 row.append(str(EPOCH + np.timedelta64(int(v), "D")))
+            elif t.kind == K.TIMESTAMP:
+                ts = np.datetime64(0, "us") + np.timedelta64(int(v), "us")
+                s = str(ts).replace("T", " ")
+                row.append(s[:-7] if s.endswith(".000000") else s)
             else:
                 row.append(v)
         rows.append(row)
