@@ -72,7 +72,14 @@ class TableEntry:
     def distinct_count(self, col: str) -> int:
         st = self.get_stats()
         i = self.column_names.index(col)
-        return st[i].get("distinct", max(self.num_rows, 1)) if i < len(st) else max(self.num_rows, 1)
+        if i >= len(st):
+            return max(self.num_rows, 1)
+        d = st[i].get("distinct")
+        if d is None and self.storage is not None:
+            # lazy per-column sketch: computed on first request, cached in
+            # the stats (and persisted with them)
+            d = st[i]["distinct"] = self.storage.distinct_for(i)
+        return d if d is not None else max(self.num_rows, 1)
 
 
 @dataclass

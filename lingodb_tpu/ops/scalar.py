@@ -910,14 +910,24 @@ def _decimal_arith(op: str, a: SCol, b: SCol, t: Type, valid) -> SCol:
     xb, sb = _dec_logical(b)
     from .backend import is_jax, is_tracer
 
+    # rescale constants beyond 18 digits cannot exist in int64: such ops MUST
+    # go exact (mul result scale far below/above operand-scale sum happens in
+    # deeply-derived decimal types, e.g. tpcxbb q23's variance over AVGs)
+    big_shift = (
+        sa is not None and sb is not None
+        and ((op in ("add", "sub", "mod")
+              and max(abs(t.s - sa), abs(t.s - sb)) > 18)
+             or (op == "mul" and abs(t.s - (sa + sb)) > 18)))
     if sa is not None and sb is not None and (
             is_obj(xa) or is_obj(xb)
-            or (dec_is_wide(t) and not (is_tracer(xa) or is_tracer(xb)))):
-        # a side needs >63 bits, or the result type may: compute exactly in
-        # Python ints (overflow-detected by construction — the reference's
-        # i128 path, LowerToStd.cpp:128-330); concrete device arrays are
-        # fetched first (only live tracers must stay on the int64 path —
-        # fused pipelines exclude wide decimals up front)
+            or (dec_is_wide(t) and not (is_jax(xa) or is_jax(xb)))
+            or (big_shift and not (is_tracer(xa) or is_tracer(xb)))):
+        # a side needs >63 bits, the host-resident result type may, or the
+        # rescale constant itself overflows int64: compute exactly in Python
+        # ints (overflow-detected by construction — the reference's i128
+        # path, LowerToStd.cpp:128-330). Device-resident narrow-typed data
+        # stays on the int64 device path (wide SUM accumulation is handled
+        # separately by limb-split reductions in the executor).
         data, zero = decwide.arith(
             op, decwide.to_obj(xa), decwide.to_obj(xb), sa, sb, t.s)
         if zero is not None:

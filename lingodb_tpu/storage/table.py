@@ -72,12 +72,13 @@ class TableStorage:
         self.version += 1
         if self.hll_regs is not None:
             # incremental sketch merge (reference: ColumnStatistics::merge
-            # hashes only the appended segment, MetaData.cpp:28-35)
+            # hashes only the appended segment, MetaData.cpp:28-35); columns
+            # never sketched stay lazy (None)
             from ..utils import hll
 
             self.hll_regs = [
                 None if r is None
-                else hll.merge(r, hll.registers_from_hashes(column_hashes(c.type, nc)))
+                else hll.merge(r, _column_regs(c.type, nc))
                 for r, c, nc in zip(self.hll_regs, self.columns, new_cols)
             ]
 
@@ -88,27 +89,46 @@ class TableStorage:
         rng = rng or np.random.default_rng(42)
         return np.sort(rng.choice(self.num_rows, size=SAMPLE_SIZE, replace=False))
 
-    def ensure_hll(self) -> list:
-        """Build the per-column HLL sketches from the full columns if absent
-        (reference: sketches built incrementally at load,
-        src/catalog/MetaData.cpp:28-35; here a one-shot vectorized hash pass).
+    def hll_for(self, ci: int):
+        """Per-column HLL sketch, computed lazily on first request (the
+        optimizer only ever asks about join/group keys; sketching every
+        column of a 60M-row table up front costs real minutes of host time).
 
-        String columns carry None: their exact distinct count is the
+        String columns stay None: their exact distinct count is the
         dictionary size (the dictionary is precisely the set of values
-        present), so no sketch is needed — hashing every distinct comment
-        string at SF100 would cost minutes of host time for nothing. Export
-        to the reference format builds string sketches on demand from the
-        dictionary (hashing each distinct value once yields the identical
-        sketch, since HLL state depends only on the distinct-hash set)."""
+        present). Export to the reference format builds string sketches on
+        demand from the dictionary (hashing each distinct value once yields
+        the identical sketch — HLL state depends only on the distinct-hash
+        set)."""
         if self.hll_regs is None:
-            from ..utils import hll
+            self.hll_regs = [None] * len(self.columns)
+        c = self.columns[ci]
+        if self.hll_regs[ci] is None and not c.type.is_string:
+            self.hll_regs[ci] = _column_regs(c.type, c)
+        return self.hll_regs[ci]
 
-            self.hll_regs = [
-                None if c.type.is_string
-                else hll.registers_from_hashes(column_hashes(c.type, c))
-                for c in self.columns
-            ]
+    def ensure_hll(self) -> list:
+        """All per-column sketches (None for strings); used by catalog
+        persistence/export (reference: sketches built incrementally at load,
+        src/catalog/MetaData.cpp:28-35)."""
+        for i in range(len(self.columns)):
+            self.hll_for(i)
         return self.hll_regs
+
+    def distinct_for(self, ci: int) -> int:
+        """Distinct-count estimate for one column (exact for strings via the
+        dictionary; HLL otherwise)."""
+        from ..utils import hll
+
+        c = self.columns[ci]
+        if c.type.is_string:
+            return max(1, len(c.dictionary) if c.dictionary is not None else 1)
+        regs = self.hll_for(ci)
+        d = int(hll.estimate(regs))
+        mask = c.is_valid_mask()
+        if int(mask.sum()) < self.num_rows:
+            d -= 1  # NULLs hash to one fixed value; exclude from distinct
+        return max(1, min(d, self.num_rows))
 
     def export_hll(self) -> list:
         """All-column HLL registers for catalog export: string sketches build
@@ -130,15 +150,16 @@ class TableStorage:
         return out
 
     def column_stats(self) -> list[dict]:
-        """Per-column stats: distinct count (exact on small tables, HyperLogLog
-        estimate otherwise — reference: catalog::ColumnStatistics HLL sketches,
-        MetaData.h:17-30), null count, min/max for numerics (sample-based)."""
+        """Per-column stats: distinct count (exact on small tables; strings
+        exact via the dictionary; otherwise computed LAZILY per column on the
+        first distinct_count request — reference: catalog::ColumnStatistics
+        HLL sketches, MetaData.h:17-30), null count, min/max for numerics
+        (sample-based). A missing "distinct" key means "ask distinct_for"."""
         from ..utils import hll
 
         stats = []
         idx = self.sample_indices()
         small = len(idx) >= self.num_rows
-        regs = None if small else self.ensure_hll()
         for ci, c in enumerate(self.columns):
             s: dict = {}
             if self.num_rows == 0:
@@ -149,16 +170,16 @@ class TableStorage:
             m = mask if small else mask[idx]
             vals = data[m]
             if small:
-                d = len(np.unique(vals))
+                s["distinct"] = max(len(np.unique(vals)), 1)
             elif c.type.is_string:
                 # dictionary == set of present values: distinct is exact
-                d = len(c.dictionary) if c.dictionary is not None else 1
-            else:
-                d = int(hll.estimate(regs[ci]))
+                s["distinct"] = max(
+                    len(c.dictionary) if c.dictionary is not None else 1, 1)
+            elif self.hll_regs is not None and self.hll_regs[ci] is not None:
+                d = int(hll.estimate(self.hll_regs[ci]))
                 if int(mask.sum()) < self.num_rows:
-                    d -= 1  # NULLs hash to one fixed value; exclude from distinct
-                d = min(d, self.num_rows)
-            s["distinct"] = max(int(d), 1)
+                    d -= 1
+                s["distinct"] = max(1, min(d, self.num_rows))
             s["nulls"] = int(self.num_rows - mask.sum())
             if c.type.is_numeric or c.type.kind in (K.DATE, K.TIMESTAMP):
                 if len(vals) and vals.dtype != np.object_:
@@ -219,6 +240,22 @@ def _hash_string_values(values) -> np.ndarray:
         out[i] = int.from_bytes(
             hashlib.blake2b(str(v).encode(), digest_size=8).digest(), "little")
     return out
+
+
+def _column_regs(t: Type, c: Column) -> np.ndarray:
+    """Chunked HLL register build for one column: bounded temporaries (fresh
+    multi-hundred-MB numpy allocations page-fault for seconds in this
+    environment; 32MB chunks recycle through the allocator at full speed)."""
+    from ..utils import hll
+
+    counts = hll.new_counts()
+    n = len(c.data)
+    for lo in range(0, max(n, 1), hll.CHUNK):
+        sub = Column(t, c.data[lo:lo + hll.CHUNK],
+                     None if c.valid is None else c.valid[lo:lo + hll.CHUNK],
+                     c.dictionary)
+        hll.fold_hashes(column_hashes(t, sub), counts)
+    return hll.registers_from_counts(counts)
 
 
 def column_hashes(t: Type, c: Column) -> np.ndarray:
