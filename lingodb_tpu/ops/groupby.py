@@ -22,7 +22,7 @@ import numpy as np
 from . import backend as be
 from .backend import xnp as jnp
 
-from ..runtime.vtable import SCol, dec_is_float
+from ..runtime.vtable import SCol, _host_idx, dec_is_float, is_obj
 from ..sql.types import K, Type
 from . import keys as keymod
 
@@ -103,6 +103,14 @@ def group_rows(key_cols: list[SCol], n: int):
             "rep_rows": rep_rows, "sorted": True}
 
 
+def _host_arr(x):
+    """Device array -> numpy (None passes through); for mixing with
+    object-dtype (wide Python-int decimal) columns on the host."""
+    if x is None or isinstance(x, np.ndarray):
+        return x
+    return np.asarray(jax.device_get(x))
+
+
 def _segment_sum(vals, seg, g, sorted_):
     return be.segment_sum(vals, seg, num_segments=g, indices_are_sorted=sorted_)
 
@@ -120,7 +128,11 @@ def aggregate(fn: str, arg: SCol | None, out_t: Type, grp: dict) -> SCol:
     seg, order, g, sorted_ = grp["seg"], grp["order"], grp["num_groups"], grp["sorted"]
 
     def ordered(x):
-        return x if order is None else jnp.take(x, order, axis=0)
+        if order is None:
+            return x
+        if is_obj(x):  # wide (Python-int) decimals permute on the host
+            return x[_host_idx(order)]
+        return jnp.take(x, order, axis=0)
 
     if fn == "count_star":
         ones = jnp.ones(seg.shape, jnp.int64)
@@ -136,15 +148,17 @@ def aggregate(fn: str, arg: SCol | None, out_t: Type, grp: dict) -> SCol:
         return SCol(out_t, vcount, None)
     nonempty = vcount > 0
     if fn == "sum":
-        vals = data if valid is None else jnp.where(valid, data, jnp.zeros_like(data))
-        from ..runtime.vtable import dec_is_wide, is_obj, jnp_dtype
+        from ..runtime.vtable import dec_is_wide, jnp_dtype
         from . import decwide
 
-        if is_obj(vals):
+        if is_obj(data):
             # wide host column: exact Python-int segment sum (np.add.at
-            # supports object dtype)
-            s = _segment_sum(vals, seg, g, sorted_)
+            # supports object dtype); masks/segments come to the host
+            vh = _host_arr(valid)
+            vals = data if vh is None else np.where(vh, data, 0)
+            s = _segment_sum(vals, _host_arr(seg), g, sorted_)
             return SCol(out_t, decwide.demote_if_possible(s), nonempty)
+        vals = data if valid is None else jnp.where(valid, data, jnp.zeros_like(data))
         if dec_is_wide(out_t) and jnp.issubdtype(vals.dtype, jnp.integer):
             if not be.is_jax(vals) and not be.is_jax(seg):
                 # host int64 that may overflow: go exact in Python ints
@@ -161,6 +175,16 @@ def aggregate(fn: str, arg: SCol | None, out_t: Type, grp: dict) -> SCol:
         s = _segment_sum(vals, seg, g, sorted_)
         return SCol(out_t, s, nonempty)
     if fn in ("min", "max"):
+        if is_obj(data):
+            # wide host column: exact Python-int extrema (ufunc.at supports
+            # object dtype); bound far outside decimal(38) range
+            big = (1 if fn == "min" else -1) * 10**45
+            vh = _host_arr(valid)
+            vals = data if vh is None else np.where(vh, data, big)
+            out = np.full(g, big, dtype=np.object_)
+            (np.minimum if fn == "min" else np.maximum).at(
+                out, _host_arr(seg), vals)
+            return SCol(out_t, out, nonempty, arg.dictionary)
         big = _extreme(data.dtype, maximum=(fn == "min"))
         vals = data if valid is None else jnp.where(valid, data, big)
         r = (_segment_min if fn == "min" else _segment_max)(vals, seg, g, sorted_)
@@ -168,6 +192,11 @@ def aggregate(fn: str, arg: SCol | None, out_t: Type, grp: dict) -> SCol:
     if fn == "any_value":
         # representative value per group
         rep = grp["rep_rows"]
+        if is_obj(arg.data):
+            ri = _host_idx(rep)
+            return SCol(out_t, arg.data[ri],
+                        None if arg.valid is None else _host_arr(arg.valid)[ri],
+                        arg.dictionary)
         return SCol(out_t, jnp.take(arg.data, rep), None if arg.valid is None else jnp.take(arg.valid, rep), arg.dictionary)
     if fn in ("stddev_samp", "var_samp"):
         x = data.astype(jnp.float64)

