@@ -157,17 +157,30 @@ def eval_cast(a: SCol, t: Type) -> SCol:
         if d.kind == K.DECIMAL:
             from .backend import is_jax
 
-            if dec_is_wide(d) and d.s > s.s and not _is_tracer(data):
-                # scaling up may exceed int64 (multiplier > 10^18 certainly
-                # does): go exact on the host; concrete device arrays fetch
-                if is_obj(data) or d.s - s.s > 18 or not is_jax(data):
-                    out = decwide.demote_if_possible(
-                        decwide.rescale(decwide.to_obj(data), s.s, d.s))
-                    return SCol(d, out, valid)
+            # exact host rescale when int64 cannot hold the computation:
+            # object input, rescale factor beyond 18 digits, or a
+            # host-resident wide upscale (value may exceed int64)
+            need_exact = (is_obj(data) or abs(d.s - s.s) > 18
+                          or (dec_is_wide(d) and d.s > s.s and not is_jax(data)))
+            if need_exact and not _is_tracer(data):
+                out = decwide.demote_if_possible(
+                    decwide.rescale(decwide.to_obj(data), s.s, d.s))
+                return SCol(d, out, valid)
             return SCol(d, _rescale_int(data, s.s, d.s, to_float=dec_is_float(d)), valid)
         if d.kind in (K.FLOAT, K.DOUBLE):
+            if is_obj(data):
+                f = np.array([float(v) for v in data.reshape(-1)],
+                             np.dtype(jnp_dtype(d))).reshape(data.shape)
+                return SCol(d, f / (10.0**s.s), valid)
             return SCol(d, (data / (10.0**s.s)).astype(jnp_dtype(d)), valid)
         if d.kind in (K.INT, K.BIGINT):
+            if s.s and (is_obj(data) or s.s > 18) and not _is_tracer(data):
+                # divisor 10^s exceeds int64 (or data already object): exact
+                q = decwide.demote_if_possible(
+                    decwide.div_trunc(decwide.to_obj(data), 10**s.s))
+                if not is_obj(q):
+                    q = q.astype(np.dtype(jnp_dtype(d)))
+                return SCol(d, q, valid)
             q = _div_trunc(data, 10**s.s) if s.s else data
             return SCol(d, q.astype(jnp_dtype(d)), valid)
         if d.kind == K.BOOL:

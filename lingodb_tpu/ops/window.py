@@ -48,13 +48,16 @@ def run_window(op: L.Window, vt: VTable) -> VTable:
         if nf is None:
             nf = not asc
         f = keymod.null_flag(c, nf)
-        img = keymod.order_image(c)
         if f is not None:
             operands.append(f)
-            # NULL rows carry arbitrary underlying values: zero their image so
-            # they don't split peer groups or break ties (see keys.py)
-            img = jnp.where(c.valid, img, jnp.zeros((), img.dtype))
-        operands.append(img if asc else keymod.descending(img))
+        # order_images decomposes wide (Python-int object) decimal keys into
+        # int64 radix limbs; plain types yield one image
+        for img in keymod.order_images(c):
+            if f is not None:
+                # NULL rows carry arbitrary underlying values: zero their
+                # image so they don't split peer groups or break ties
+                img = jnp.where(c.valid, img, jnp.zeros((), img.dtype))
+            operands.append(img if asc else keymod.descending(img))
     iota = jnp.arange(n, dtype=jnp.int64)
     res = jax.lax.sort(operands + [iota], num_keys=len(operands) + 1)
     perm = res[-1]

@@ -9,6 +9,7 @@ the reference binaries."""
 from __future__ import annotations
 
 import re
+import sqlite3
 
 import numpy as np
 
@@ -247,7 +248,29 @@ def run_sqlite(conn, sql: str) -> list[tuple]:
     # sqlite's LIKE is case-insensitive by default; SQL (and our engine and
     # the reference) are case-sensitive
     cur.execute("PRAGMA case_sensitive_like=ON")
-    cur.execute(_patch_order_by_nulls(adapt_for_sqlite(sql)))
+    q = _patch_order_by_nulls(adapt_for_sqlite(sql))
+    for _ in range(4):
+        try:
+            cur.execute(q)
+            return cur.fetchall()
+        except sqlite3.OperationalError as e:
+            # SQL resolves a final ORDER BY name against the OUTPUT columns;
+            # sqlite calls it ambiguous when several FROM items carry it
+            # (TPC-DS q58/q72, where the join equates them anyway). Qualify
+            # with the first alias the query itself uses and retry.
+            m = re.match(r"ambiguous column name: (\w+)", str(e))
+            if not m:
+                raise
+            col = m.group(1)
+            qual = re.search(rf"(\w+)\.{col}\b", q)
+            lo = q.lower().rfind("order by")
+            if not qual or lo < 0:
+                raise
+            head, tail = q[:lo], q[lo:]
+            tail = re.sub(rf"(?<![\w.]){col}(?![\w.])",
+                          f"{qual.group(1)}.{col}", tail)
+            q = head + tail
+    cur.execute(q)
     return cur.fetchall()
 
 
