@@ -11,7 +11,8 @@ import pytest
 QDIR = "/root/reference/resources/sql/job"
 
 SUBSET = sorted(
-    f[:-4] for f in os.listdir(QDIR) if f.endswith(".sql")
+    f[:-4] for f in os.listdir(QDIR)
+    if f.endswith(".sql") and f != "initialize.sql"
 ) if os.path.isdir(QDIR) else []
 
 pytestmark = pytest.mark.skipif(
