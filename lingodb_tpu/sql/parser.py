@@ -317,6 +317,10 @@ class Parser:
             self.expect_op("(")
             while True:
                 icols.append(self.ident_any())
+                # per-column order is irrelevant to a hash index: accept+drop
+                if self.accept_kw("asc") or self.accept_kw("desc"):
+                    if self.accept_kw("nulls"):
+                        self.next()
                 if not self.accept_op(","):
                     break
             self.expect_op(")")
