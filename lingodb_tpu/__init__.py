@@ -42,7 +42,10 @@ def _configure_jax():
         try:
             os.makedirs(cache_dir, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+            # cache EVERYTHING: the eager op-at-a-time path emits hundreds of
+            # ~40ms micro-programs per complex query (DS q4: 645 compiles =
+            # 28s); below-threshold entries otherwise recompile every process
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
             jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         except Exception:
             pass

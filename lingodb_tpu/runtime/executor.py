@@ -55,6 +55,7 @@ class Executor:
         self._iter_tables: dict[int, VTable] = {}
         self._mode = "DEFAULT"
         self.last_op_profile: list | None = None
+        self._prof_children: list = [0.0]
         # one-shot results stashed by _try_fused_agg when it materializes a
         # spine base and then declines to fuse: the eager fallback consumes
         # them instead of re-executing the subtree (id(node) -> VTable)
@@ -74,13 +75,15 @@ class Executor:
         #   PERF     per-operator wall-time/row profile in last_op_profile
         self._mode = str(EXECUTION_MODE.get()).upper()
         self.last_op_profile = [] if self._mode == "PERF" else None
+        self._prof_children = [0.0]
         with tracer.Trace("execution", "run_plan"):
             vt = self.run(plan.child)
         if self.last_op_profile is not None:
             import sys
 
-            for name, ms, rows in self.last_op_profile:
-                print(f"# perf {name}: {ms:.3f}ms rows={rows}", file=sys.stderr)
+            for name, ms, rows, incl in self.last_op_profile:
+                print(f"# perf {name}: self={ms:.3f}ms incl={incl:.3f}ms "
+                      f"rows={rows}", file=sys.stderr)
         # ONE packed device->host transfer for the whole result
         needed = VTable({cid: vt.col(cid) for cid in set(plan.cids)}, vt.num_rows)
         host = dv.fetch_vtable_np(needed) if vt.num_rows else {}
@@ -109,13 +112,19 @@ class Executor:
             import time as _time
 
             t0 = _time.perf_counter()
+            self._prof_children.append(0.0)
             vt = method(op)
             # wall time of dispatch; device completion lands on whichever
             # operator forces the next host sync (the executor's documented
             # one-sync-per-size-changing-op contract)
+            dt = _time.perf_counter() - t0
+            child = self._prof_children.pop()
+            if self._prof_children:
+                self._prof_children[-1] += dt
+            # (name, self_ms, rows, inclusive_ms)
             self.last_op_profile.append(
-                (type(op).__name__, (_time.perf_counter() - t0) * 1e3,
-                 vt.num_rows))
+                (type(op).__name__, (dt - child) * 1e3, vt.num_rows,
+                 dt * 1e3))
         else:
             vt = method(op)
         if getattr(self, "_mode", "DEFAULT") == "DEBUG":

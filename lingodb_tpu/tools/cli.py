@@ -142,10 +142,10 @@ def profile(argv: list[str]) -> int:
     for name, text in optimizer.last_pass_snapshots or []:
         print(f"== after {name} ==\n{text}")
     prof = session.executor.last_op_profile or []
-    total = sum(ms for _n, ms, _r in prof)
-    print("== operator profile ==")
-    for name, ms, rows in prof:
-        print(f"  {name:<14} {ms:9.3f}ms  rows={rows}")
+    total = sum(rec[1] for rec in prof)
+    print("== operator profile (self time) ==")
+    for name, ms, rows, incl in prof:
+        print(f"  {name:<14} {ms:9.3f}ms (incl {incl:9.3f})  rows={rows}")
     print(f"  {'TOTAL':<14} {total:9.3f}ms")
     if pe.supported:
         print("== host counters ==")

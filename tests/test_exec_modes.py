@@ -75,7 +75,7 @@ def test_perf_mode_profile(dbg_session):
     mode.set("PERF")
     s.sql("select g, sum(v) from t group by g order by g")
     prof = s.executor.last_op_profile
-    assert prof and all(len(rec) == 3 for rec in prof)
+    assert prof and all(len(rec) == 4 for rec in prof)  # name, self, rows, incl
     names = [rec[0] for rec in prof]
     assert any("Aggregate" in n or "Scan" in n for n in names)
 
