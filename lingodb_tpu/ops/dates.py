@@ -10,7 +10,9 @@ of the stage.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+import numpy as np
+
+from .backend import xnp as jnp
 
 US_PER_DAY = 86_400_000_000
 

@@ -166,8 +166,8 @@ def aggregate(fn: str, arg: SCol | None, out_t: Type, grp: dict) -> SCol:
                 return SCol(out_t, decwide.demote_if_possible(s), nonempty)
             # device: 32-bit-split accumulators, recombined exactly on host
             v64 = vals.astype(jnp.int64)
-            hi = _segment_sum(v64 >> jnp.int64(32), seg, g, sorted_)
-            lo = _segment_sum(v64 & jnp.int64(0xFFFFFFFF), seg, g, sorted_)
+            hi = _segment_sum(v64 >> np.int64(32), seg, g, sorted_)
+            lo = _segment_sum(v64 & np.int64(0xFFFFFFFF), seg, g, sorted_)
             s = decwide.demote_if_possible(decwide.combine_limbs(
                 np.asarray(jax.device_get(hi)), np.asarray(jax.device_get(lo))))
             return SCol(out_t, s, nonempty)

@@ -18,9 +18,9 @@ from .backend import xnp as jnp
 def splitmix64(x):
     """Murmur/splitmix finalizer, uint64 -> uint64, vectorized."""
     x = x.astype(jnp.uint64)
-    x = (x ^ (x >> jnp.uint64(30))) * jnp.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> jnp.uint64(27))) * jnp.uint64(0x94D049BB133111EB)
-    x = x ^ (x >> jnp.uint64(31))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
     return x
 
 
@@ -49,13 +49,13 @@ def hash_column(data, valid=None):
     h = splitmix64(_to_u64(data))
     if valid is not None:
         # NULLs get a distinct fixed hash
-        h = jnp.where(valid, h, jnp.uint64(0x9E3779B97F4A7C15))
+        h = jnp.where(valid, h, np.uint64(0x9E3779B97F4A7C15))
     return h
 
 
 def combine(h1, h2):
     """Order-dependent combine (boost::hash_combine style)."""
-    return splitmix64(h1 ^ (h2 + jnp.uint64(0x9E3779B97F4A7C15) + (h1 << jnp.uint64(6)) + (h1 >> jnp.uint64(2))))
+    return splitmix64(h1 ^ (h2 + np.uint64(0x9E3779B97F4A7C15) + (h1 << np.uint64(6)) + (h1 >> np.uint64(2))))
 
 
 def hash_columns(cols) -> jnp.ndarray:

@@ -19,6 +19,8 @@ from __future__ import annotations
 import jax
 
 from . import backend as be
+import numpy as np
+
 from .backend import xnp as jnp
 
 from ..runtime.vtable import SCol
@@ -48,7 +50,7 @@ def candidate_pairs(build_keys: list[SCol], probe_keys: list[SCol], n_build: int
     pvalid = _all_valid(strict_p, n_probe)
     if bvalid is not None:
         # push NULL-keyed build rows to a sentinel bucket
-        hb = jnp.where(bvalid, hb, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        hb = jnp.where(bvalid, hb, np.uint64(0xFFFFFFFFFFFFFFFF))
     res = be.multi_sort([hb, jnp.arange(n_build, dtype=jnp.int64)], num_keys=1)
     sorted_h, perm = res
     start = _searchsorted(sorted_h, hp, "left")

@@ -9,6 +9,8 @@ SubOpToControlFlow lowering generates per state, SubOpToControlFlow.cpp:
 
 from __future__ import annotations
 
+import numpy as np
+
 from .backend import multi_sort
 from .backend import xnp as jnp
 
@@ -24,10 +26,10 @@ def order_image(c: SCol) -> jnp.ndarray:
         return d.astype(jnp.int32)
     if d.dtype == jnp.float64:
         bits = d.view(jnp.int64)
-        return jnp.where(bits < 0, ~bits + jnp.int64(-0x8000000000000000), bits)
+        return jnp.where(bits < 0, ~bits + np.int64(-0x8000000000000000), bits)
     if d.dtype == jnp.float32:
         bits = d.view(jnp.int32)
-        return jnp.where(bits < 0, ~bits + jnp.int32(-0x80000000), bits)
+        return jnp.where(bits < 0, ~bits + np.int32(-0x80000000), bits)
     return d
 
 
