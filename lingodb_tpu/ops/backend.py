@@ -219,6 +219,48 @@ def first_true(n: int, like=None):
     return out
 
 
+def cummax(v):
+    """Cumulative maximum (jax: associative scan; numpy: ufunc accumulate)."""
+    if is_jax(v):
+        return jax.lax.associative_scan(jnp.maximum, v)
+    return np.maximum.accumulate(v)
+
+
+def rev_cummin(v):
+    """Reverse cumulative minimum: out[i] = min(v[i:])."""
+    if is_jax(v):
+        return jax.lax.associative_scan(jnp.minimum, v[::-1])[::-1]
+    return np.minimum.accumulate(v[::-1])[::-1]
+
+
+def segmented_scan_minmax(vals, pb, is_min: bool):
+    """Within-segment running min/max; pb flags segment starts (Blelloch-style
+    segmented scan; jax: associative_scan over (value, flag) pairs; numpy:
+    the same combine via log2(n) Hillis-Steele doubling passes)."""
+    if any_jax(vals, pb):
+        def combine(a, b):
+            av, af = a
+            bv, bf = b
+            m = jnp.minimum(av, bv) if is_min else jnp.maximum(av, bv)
+            return jnp.where(bf, bv, m), af | bf
+
+        out, _ = jax.lax.associative_scan(combine, (jnp.asarray(vals),
+                                                    jnp.asarray(pb)))
+        return out
+    v = np.array(vals, copy=True)
+    f = np.array(pb, copy=True)
+    n = len(v)
+    d = 1
+    while d < n:
+        pv, pf = v[:-d], f[:-d]
+        nv, nf = v[d:], f[d:]
+        m = np.minimum(pv, nv) if is_min else np.maximum(pv, nv)
+        v = np.concatenate([v[:d], np.where(nf, nv, m)])
+        f = np.concatenate([f[:d], pf | nf])
+        d *= 2
+    return v
+
+
 def lut_take(lut, codes):
     """Gather a host-computed lookup table by (possibly traced) codes."""
     if is_jax(codes):

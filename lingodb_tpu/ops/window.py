@@ -14,11 +14,10 @@ Results scatter back to the original row order."""
 
 from __future__ import annotations
 
-import jax
+import numpy as np
 
 from . import backend as be
-import jax.numpy as jnp
-import numpy as np
+from .backend import xnp as jnp
 
 from ..plan import logical as L
 from ..runtime.vtable import SCol, VTable, dec_is_float, jnp_dtype
@@ -59,13 +58,13 @@ def run_window(op: L.Window, vt: VTable) -> VTable:
                 img = jnp.where(c.valid, img, jnp.zeros((), img.dtype))
             operands.append(img if asc else keymod.descending(img))
     iota = jnp.arange(n, dtype=jnp.int64)
-    res = jax.lax.sort(operands + [iota], num_keys=len(operands) + 1)
+    res = be.multi_sort(operands + [iota], num_keys=len(operands) + 1)
     perm = res[-1]
     sorted_part = res[:n_part_ops]
     sorted_order = res[n_part_ops:-1]
 
     # partition boundaries in sorted space
-    first = jnp.zeros((n,), jnp.bool_).at[0].set(True)
+    first = be.first_true(n, like=operands[0] if operands else None)
     pb = first
     for s in sorted_part:
         pb = pb | jnp.concatenate([jnp.ones((1,), jnp.bool_), s[1:] != s[:-1]])
@@ -82,7 +81,7 @@ def run_window(op: L.Window, vt: VTable) -> VTable:
         ob = ob | jnp.concatenate([jnp.ones((1,), jnp.bool_), s[1:] != s[:-1]])
 
     has_order = bool(op.order_by)
-    inv = jnp.zeros((n,), jnp.int64).at[perm].set(pos)  # original row -> sorted pos
+    inv = be.set_at(jnp.zeros((n,), jnp.int64), perm, pos)  # original row -> sorted pos
 
     # general frame bounds (inclusive sorted positions per row) for explicit
     # frame clauses, and for nth_value (which always needs frame endpoints)
@@ -116,18 +115,7 @@ def _segmented_cumsum(vals, pb):
 
 
 def _segmented_scan_minmax(vals, pb, is_min: bool):
-    neutral = jnp.iinfo(vals.dtype).max if is_min else jnp.iinfo(vals.dtype).min
-    if jnp.issubdtype(vals.dtype, jnp.floating):
-        neutral = jnp.inf if is_min else -jnp.inf
-
-    def combine(a, b):
-        av, af = a
-        bv, bf = b
-        v = jnp.where(bf, bv, jnp.minimum(av, bv) if is_min else jnp.maximum(av, bv))
-        return v, af | bf
-
-    out, _ = jax.lax.associative_scan(combine, (vals, pb))
-    return out
+    return be.segmented_scan_minmax(vals, pb, is_min)
 
 
 def _binsearch(vals, go_right, lo0, hi0, n):
@@ -483,12 +471,11 @@ def _neutral(dtype, is_min: bool):
 def _segmented_scan_last_true(pos, flags):
     """For each position: the largest position <= it where flags is True."""
     v = jnp.where(flags, pos, INT64_MIN)
-    return jax.lax.associative_scan(jnp.maximum, v)
+    return be.cummax(v)
 
 
 def _run_inclusive_end(pos, ob):
     """Last position of each peer group (inclusive end of the run)."""
     next_start = jnp.concatenate([ob[1:], jnp.ones((1,), jnp.bool_)])
     v = jnp.where(next_start, pos, jnp.iinfo(jnp.int64).max)
-    rev = jax.lax.associative_scan(jnp.minimum, v[::-1])[::-1]
-    return rev
+    return be.rev_cummin(v)
