@@ -228,3 +228,81 @@ def test_refformat_c_code_wrapping():
     names, body = split_function_code("c", code)
     assert names == ["x"]
     assert "return x+1;" in body
+
+
+def test_reference_catalog_handwritten_bytes(tmp_path):
+    """Parse a db.lingodb built BYTE-BY-BYTE here from the reference
+    serializer spec (Serialization.h wire format; Catalog.cpp:21-75;
+    TableCatalogEntry.cpp:37-48; Column.cpp; Types.cpp:49-97;
+    LingoDBTable.cpp:306-313) — independent of our own writer, so a
+    self-consistent-but-wrong implementation cannot pass."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    import lingodb_tpu as ldb
+
+    def u16(v):
+        return struct.pack("<H", v)
+
+    def u64(v):
+        return struct.pack("<Q", v)
+
+    def s(b):
+        b = b.encode() if isinstance(b, str) else b
+        return u64(len(b)) + b
+
+    def prop(pid, body):
+        return u16(pid) + body + u16(pid)
+
+    OBJ, END, PRESENT, NOTP = u16(0xFFFE), u16(0xFFFF), u16(0xFFFC), u16(0xFFFD)
+
+    def int_type(width):  # Type{ INT, IntTypeInfo{signed,width} }
+        info = OBJ + prop(42, b"\x00") + prop(0, b"\x01") + prop(1, u64(width)) + END
+        return OBJ + prop(0, b"\x03") + prop(1, PRESENT + info) + END
+
+    def string_type():
+        info = OBJ + prop(42, b"\x02") + prop(0, s("")) + prop(1, NOTP) + END
+        return OBJ + prop(0, b"\x0b") + prop(1, PRESENT + info) + END
+
+    def column(name, type_bytes, nullable):
+        return prop(4, OBJ + prop(1, s(name)) + prop(2, type_bytes)
+                    + prop(3, b"\x01" if nullable else b"\x00") + END)
+
+    # the arrow data file + sample + schema the impl section points at
+    tbl = pa.table({"id": pa.array([7, 8, 9], pa.int64()),
+                    "nm": pa.array(["x", "y", None], pa.string())})
+    d = str(tmp_path / "refdb")
+    os.makedirs(d)
+    with ipc.RecordBatchFileWriter(os.path.join(d, "tt.arrow"), tbl.schema) as w:
+        w.write_table(tbl)
+    buf = io.BytesIO()
+    with ipc.RecordBatchStreamWriter(buf, tbl.schema) as w:
+        w.write_table(tbl)
+    sample_ipc = buf.getvalue()
+    schema_ipc = tbl.schema.serialize().to_pybytes()
+
+    hll_regs = b"".join(prop(i, bytes([1])) for i in range(64))
+    stats_present = OBJ + prop(1, PRESENT + OBJ + hll_regs + END) + END
+    stats_absent = OBJ + prop(1, NOTP) + END
+    impl = PRESENT + OBJ + prop(1, s("tt.arrow")) \
+        + prop(2, OBJ + prop(1, s(sample_ipc)) + END) \
+        + prop(3, s(schema_ipc)) \
+        + prop(4, u64(2) + s("id") + stats_present + s("nm") + stats_absent) \
+        + prop(5, u64(3)) + END
+    entry = PRESENT + OBJ + prop(1, b"\x01") \
+        + prop(2, s("tt")) + prop(3, u64(2)) \
+        + column("id", int_type(64), False) + column("nm", string_type(), True) \
+        + prop(8, u64(1) + s("id")) + prop(9, u64(0)) + prop(10, impl) + END
+    catalog = prop(0, OBJ + prop(0, u64(3))
+                   + prop(1, u64(1) + s("tt") + entry) + END)
+    with open(os.path.join(d, "db.lingodb"), "wb") as f:
+        f.write(catalog)
+
+    s2 = ldb.connect_to_db(d)
+    assert s2.catalog.ref_format
+    e = s2.catalog.get_table("tt")
+    assert e.primary_key == ["id"]
+    r = s2.sql("select id, nm from tt order by id").format_rows()
+    assert r == [["7", "x"], ["8", "y"], ["9", "NULL"]]
