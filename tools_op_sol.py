@@ -80,16 +80,16 @@ def main():
     table = jnp.asarray(rng.integers(0, 1 << 30, S, dtype=np.int32))
     idx = jnp.asarray(rng.integers(0, S, N, dtype=np.int32))
     probe(
-        "gather_rand", (idx, jnp.zeros((), jnp.int32)),
-        lambda s: (s[0], jnp.sum(jnp.take(table, s[0] ^ (s[1] & 1)))),
+        "gather_rand", (idx, jnp.zeros((), jnp.int64)),
+        lambda s: (s[0], jnp.sum(jnp.take(table, s[0] ^ (s[1] & 1).astype(jnp.int32)))),
         lambda s: s[1],
         nbytes=N * (4 + 4),
     )
 
     idxs = jnp.asarray(np.arange(N, dtype=np.int32) % S)
     probe(
-        "gather_seq", (idxs, jnp.zeros((), jnp.int32)),
-        lambda s: (s[0], jnp.sum(jnp.take(table, s[0] ^ (s[1] & 1)))),
+        "gather_seq", (idxs, jnp.zeros((), jnp.int64)),
+        lambda s: (s[0], jnp.sum(jnp.take(table, s[0] ^ (s[1] & 1).astype(jnp.int32)))),
         lambda s: s[1],
         nbytes=N * (4 + 4),
     )
@@ -98,9 +98,9 @@ def main():
         rng.integers(0, 1 << 30, (N // 128, 128), dtype=np.int32))
     lanes = jnp.asarray(rng.integers(0, 128, (N // 128, 1), dtype=np.int32))
     probe(
-        "lane_taa", (rows, jnp.zeros((), jnp.int32)),
+        "lane_taa", (rows, jnp.zeros((), jnp.int64)),
         lambda s: (s[0], jnp.sum(jnp.take_along_axis(
-            s[0], lanes ^ (s[1] & 1), axis=1))),
+            s[0], lanes ^ (s[1] & 1).astype(jnp.int32), axis=1))),
         lambda s: s[1],
         nbytes=N * 4,
     )
@@ -129,7 +129,7 @@ def main():
     probe(
         "sgsum", (vals, jnp.zeros((), jnp.int64)),
         lambda s: (s[0], jnp.sum(wt * jax.ops.segment_sum(
-            s[0] ^ (s[1] & 1), seg, num_segments=S,
+            s[0] ^ (s[1] & 1).astype(jnp.int32), seg, num_segments=S,
             indices_are_sorted=True))),
         lambda s: s[1],
         nbytes=N * (8 + 4),
