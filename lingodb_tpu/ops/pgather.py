@@ -352,7 +352,7 @@ _GS_WROWS = 2048           # window rows (262144 table entries per window)
 
 @functools.partial(
     jax.jit, static_argnames=("wrows", "t_rows", "d_chunks", "interpret"))
-def _gather_sorted_i32(table2d, idx2d, wstarts, vbase, wrows: int,
+def _gather_sorted_i32(table2d, idx2d, wstarts, vbase, vlast, wrows: int,
                        t_rows: int, d_chunks: int, interpret: bool):
     pl = _pl()
     nt = idx2d.shape[0] // t_rows
@@ -360,8 +360,8 @@ def _gather_sorted_i32(table2d, idx2d, wstarts, vbase, wrows: int,
     tab_rows = table2d.shape[0]
     wblocks = max(tab_rows // wrows, 1)
 
-    def kernel(wstart_ref, idx_ref, vb_ref, win0_ref, win1_ref, out_ref,
-               ovf_ref):
+    def kernel(wstart_ref, idx_ref, vb_ref, vl_ref, win0_ref, win1_ref,
+               out_ref, ovf_ref):
         t = pl.program_id(0)
         w0 = wstart_ref[t]  # window block index (units of wrows rows)
         idx = idx_ref[:]
@@ -373,6 +373,9 @@ def _gather_sorted_i32(table2d, idx2d, wstarts, vbase, wrows: int,
             lane = vidx & 127
             hi = vidx >> 7
             base = vb_ref[t * n_vreg + vi]  # global chunk (8-row units)
+            # early exit: the vreg's indices are sorted, so its true span
+            # ends at its last element's chunk — walk only that many
+            trips = jnp.clip(vl_ref[t * n_vreg + vi] - base + 1, 1, d_chunks)
 
             def chunk_step(d_, vacc, base=base, lane=lane, hi=hi):
                 g = base + d_
@@ -390,14 +393,14 @@ def _gather_sorted_i32(table2d, idx2d, wstarts, vbase, wrows: int,
                 return vacc
 
             vacc = jnp.zeros((8, 128), jnp.int32)
-            if d_chunks <= 8:  # unroll short walks; loop long (sparse) ones
+            if d_chunks <= 4:  # unroll the shortest walks; loop the rest
                 for d_ in range(d_chunks):
                     vacc = chunk_step(d_, vacc)
             else:
-                vacc = jax.lax.fori_loop(0, d_chunks, chunk_step, vacc)
-            # overflow: any index outside its vreg's d_chunks walk OR
-            # outside the dual aligned window (f32 reduce: int reductions
-            # promote to i64 in Mosaic's lowering proxy)
+                vacc = jax.lax.fori_loop(0, trips, chunk_step, vacc)
+            # overflow: any index outside its vreg's capped walk OR outside
+            # the dual aligned window (f32 reduce: int reductions promote
+            # to i64 in Mosaic's lowering proxy)
             bad = (hi < base * 8) | (hi >= (base + d_chunks) * 8)
             bad = bad | (hi < w0 * win_chunks * 8) | (
                 hi >= (w0 + 2) * win_chunks * 8)
@@ -413,6 +416,7 @@ def _gather_sorted_i32(table2d, idx2d, wstarts, vbase, wrows: int,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((t_rows, 128), lambda i, w: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((wrows, 128),
                          lambda i, w: (jnp.clip(w[i], 0, wblocks - 1), 0)),
@@ -433,7 +437,7 @@ def _gather_sorted_i32(table2d, idx2d, wstarts, vbase, wrows: int,
                 jax.ShapeDtypeStruct((1,), jnp.int32),
             ],
             interpret=interpret,
-        )(wstarts, idx2d, vbase, table2d, table2d)
+        )(wstarts, idx2d, vbase, vlast, table2d, table2d)
     return out, ovf
 
 
@@ -470,8 +474,12 @@ def gather_sorted_i32(table, idx, d_chunks: int = 0, t_rows: int = 0):
     wstarts = (firsts // (_GS_WROWS * 128)).astype(jnp.int32)
     vfirsts = idx[:: 1024]  # (nt * n_vreg,)
     vbase = (vfirsts // 1024).astype(jnp.int32)
+    vlast = (idx[1023:: 1024] // 1024).astype(jnp.int32)
+    if vlast.shape[0] < vbase.shape[0]:  # defensive: n_pad is a 1024-multiple
+        vlast = jnp.concatenate(
+            [vlast, vbase[vlast.shape[0]:]])
     out, ovf = _gather_sorted_i32(
-        table.reshape(-1, 128), idx.reshape(-1, 128), wstarts, vbase,
+        table.reshape(-1, 128), idx.reshape(-1, 128), wstarts, vbase, vlast,
         _GS_WROWS, t_rows, d_chunks, INTERPRET)
     return out.reshape(-1)[:n], ovf[0]
 
@@ -578,3 +586,101 @@ def segscan_i32(gid, vals):
     v3 = jnp.stack([v.reshape(-1, 128) for v in vals])
     out = _segscan_kernel(gid.reshape(-1, 128), v3, len(vals), INTERPRET)
     return [out[w].reshape(-1)[:n] for w in range(len(vals))]
+
+
+# --------------------------------------------------------------------------
+# Engine-facing dispatcher
+# --------------------------------------------------------------------------
+
+def use_pallas() -> bool:
+    """Whether the Pallas kernels should run: real TPU backend, no mesh
+    (kernels are single-device; sharded paths use the shuffle layer), and
+    the setting is on. Overridable for tests via FORCE_PALLAS."""
+    if FORCE_PALLAS is not None:
+        return FORCE_PALLAS
+    from ..utils.settings import get_setting
+
+    if str(get_setting("system.pallas")).lower() in ("off", "false", "0"):
+        return False
+    from ..runtime import device as dv
+
+    if dv.get_mesh() is not None:
+        return False
+    return jax.default_backend() == "tpu"
+
+
+FORCE_PALLAS = None  # tests set True (with INTERPRET) or False
+
+# below this many indices XLA's gather cost is negligible and kernel
+# padding/dispatch overhead dominates
+MIN_N = 1 << 16
+# monotone gather beats XLA take while the average index gap keeps the
+# chunk walk short; with the per-vreg early exit the walk costs
+# ~gap*26/1024 instr per element vs XLA take's ~19ns/elem, so the
+# crossover sits past gap 128
+MAX_SORTED_GAP = 128.0
+
+
+def _take_i32(table, idx, monotone: bool):
+    s, n = int(table.shape[0]), int(idx.shape[0])
+    if s <= CHUNK_TABLE_LIMIT:
+        return gather_chunked_i32(table, idx)
+    if monotone and s / max(n, 1) <= MAX_SORTED_GAP:
+        g, ovf = gather_sorted_i32(table, idx)
+        # density skew (ovf>0) falls back to XLA inside the program: cond
+        # executes only one branch at runtime
+        return jax.lax.cond(ovf == 0, lambda: g,
+                            lambda: jnp.take(table, idx, mode="clip"))
+    return jnp.take(table, idx, mode="clip")  # 1-D: axis irrelevant
+
+
+def take_fast(table, idx, *, monotone: bool = False):
+    """table[idx] with OOB clipped — a drop-in for jnp.take(mode='clip')
+    that routes through the Pallas kernels when they win:
+      - tables <= 8K entries: chunked VMEM gather (any index order)
+      - monotone idx over dense tables: windowed sorted gather
+      - otherwise: XLA take
+    Set monotone=True ONLY for nondecreasing idx (positions from
+    compact_positions, sorted-FK probes); violations are caught by the
+    kernel's overflow flag and fall back, so a wrong hint costs time, not
+    correctness."""
+    if not isinstance(table, jax.Array):  # numpy baseline backend: host
+        return np.take(table, np.maximum(np.asarray(idx), 0), axis=0)
+    n = int(idx.shape[0]) if idx.ndim == 1 else idx.size
+    if (not use_pallas()) or n < MIN_N or table.ndim != 1:
+        return jnp.take(table, idx, axis=0, mode="clip")
+    idx32 = idx.astype(jnp.int32)
+    dt = table.dtype
+    if dt == jnp.bool_ or dt.itemsize <= 2:
+        out = _take_i32(table.astype(jnp.int32), idx32, monotone)
+        return out.astype(dt)
+    if dt.itemsize == 4:
+        t32 = jax.lax.bitcast_convert_type(table, jnp.int32)
+        return jax.lax.bitcast_convert_type(
+            _take_i32(t32, idx32, monotone), dt)
+    # 8-byte types: gather two 32-bit limbs
+    limbs = jax.lax.bitcast_convert_type(table, jnp.int32)  # (S, 2)
+    lo = _take_i32(limbs[:, 0], idx32, monotone)
+    hi = _take_i32(limbs[:, 1], idx32, monotone)
+    return jax.lax.bitcast_convert_type(jnp.stack([lo, hi], axis=-1), dt)
+
+
+def nonzero_positions(mask, k: int):
+    """(count, positions[:k]) of mask's set bits — compact_positions on the
+    chip, jnp.nonzero elsewhere. count is exact even when it exceeds k."""
+    if not isinstance(mask, jax.Array):  # numpy baseline backend
+        pos = np.flatnonzero(mask)
+        out = np.zeros(k, np.int32)
+        out[: min(len(pos), k)] = pos[:k]
+        return np.int64(len(pos)), out
+    n = int(mask.shape[0])
+    if use_pallas() and n >= MIN_N:
+        cnt, pos = compact_positions(mask, k)
+        # sentinel-fill the padding tail: the kernel leaves stale carry
+        # values there, which would break the monotonicity downstream
+        # monotone gathers rely on (clipped to the table end by take_fast)
+        ar = jnp.arange(k, dtype=jnp.int32)
+        pos = jnp.where(ar < cnt, pos, jnp.int32(2147483646))
+        return cnt.astype(jnp.int64), pos
+    pos = jnp.nonzero(mask, size=k, fill_value=0)[0].astype(jnp.int32)
+    return jnp.sum(mask.astype(jnp.int64)), pos

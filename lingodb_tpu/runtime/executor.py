@@ -21,6 +21,7 @@ from ..ops.backend import xnp as jnp
 from ..ops import groupby as gb
 from ..ops import join as joinops
 from ..ops import keys as keymod
+from ..ops import pgather
 from ..ops import scalar as sc
 from ..ops import strings as strmod
 from ..plan import exprs as E
@@ -430,9 +431,13 @@ class Executor:
             names.append(cid_to_name[bexpr.cid])
         return bool(names) and entry.index_on(names) is not None
 
-    def _prep_fused_join(self, jop, build_plan, build_is_right, agg_op):
+    def _prep_fused_join(self, jop, build_plan, build_is_right, agg_op,
+                         sorted_cids=frozenset()):
         """Validate + materialize one dimension join for the fused pipeline.
-        Returns None when the join can't be a static-shape unique-key lookup."""
+        Returns None when the join can't be a static-shape unique-key lookup.
+        sorted_cids: spine columns known to be physically nondecreasing
+        (clustered base-table order) — probes on them use the monotone
+        windowed-gather kernel."""
         from ..plan import exprs as E
 
         lcids = {c.cid for c in jop.left.output_cols()}
@@ -612,6 +617,9 @@ class Executor:
             "kind": jop.kind,
             "probe_expr": probe_expr,
             "probe_expr2": probe_expr2,
+            "probe_sorted": (isinstance(probe_expr, ColRef)
+                             and probe_expr.cid in sorted_cids
+                             and probe_expr2 is None),
             "maxdup": maxdup,
             "direct": direct,
             "residual": residual,
@@ -748,6 +756,11 @@ class Executor:
         # Preps are cached with the compiled entry: the cache key covers every
         # involved table version, so build contents are fixed per key (avoids
         # re-fetching dimension arrays from the device on every execution)
+        sorted_cids = frozenset()
+        if isinstance(cur, L.Scan):
+            snames = set(entry.storage.sorted_cols)
+            sorted_cids = frozenset(
+                c.cid for c in cur.cols if c.name in snames)
         prep_key = ("fused_prep", key)
         join_preps = cache.get(prep_key)
         if join_preps is None:
@@ -755,7 +768,8 @@ class Executor:
             for si, st in enumerate(steps):
                 if st[0] != "join":
                     continue
-                prep = self._prep_fused_join(st[1], st[2], st[3], op)
+                prep = self._prep_fused_join(st[1], st[2], st[3], op,
+                                             sorted_cids)
                 if prep is None:
                     cache[key] = "eager"
                     return None
@@ -785,7 +799,12 @@ class Executor:
                 if st[0] == "sm" and isinstance(st[1], L.Select):
                     sel *= scan_selectivity(
                         entry, scan, E.conjuncts(st[1].predicate))
-            k = 1 << (max(int(n * sel * 4) + 1024, 2) - 1).bit_length()
+            # x2 headroom over the estimate, quantized to 64K (shape
+            # stability for the jit cache); every downstream gather/probe
+            # runs at this size, so slack is pure waste — the overflow
+            # fallback below covers underestimates
+            est = int(n * sel * 2) + 8192
+            k = -(-est // 65536) * 65536
             if k <= n // 2:
                 compact_k = k
         # columns the post-compaction pipeline still reads (everything else
@@ -847,18 +866,23 @@ class Executor:
                 for si, step in enumerate(steps):
                     if (compact_k is not None and si == lead
                             and mask is not None and mask.ndim != 0):
-                        sel_count = jnp.sum(mask.astype(jnp.int64))
-                        idx = jnp.nonzero(mask, size=compact_k,
-                                          fill_value=0)[0]
+                        # survivor positions via the Pallas streaming
+                        # compaction kernel on the chip (ops/pgather.py);
+                        # positions are monotone, so the per-column fetch
+                        # uses the windowed sorted-gather kernel
+                        sel_count, idx = pgather.nonzero_positions(
+                            mask, compact_k)
                         newenv = {}
                         for cid, c in env.items():
                             if cid not in used_after or c.data.ndim == 0:
                                 newenv[cid] = c
                                 continue
                             newenv[cid] = SCol(
-                                c.type, jnp.take(c.data, idx, axis=0),
+                                c.type,
+                                pgather.take_fast(c.data, idx, monotone=True),
                                 None if c.valid is None
-                                else jnp.take(c.valid, idx),
+                                else pgather.take_fast(c.valid, idx,
+                                                       monotone=True),
                                 c.dictionary)
                         env = newenv
                         mask = jnp.arange(compact_k, dtype=jnp.int64) < sel_count
@@ -1238,10 +1262,112 @@ class Executor:
                                                  null_safe)
                 if sharded is not None:
                     return sharded
+            fast = self._try_unique_key_join(op, kind, lvt, rvt, lk, rk,
+                                             null_safe)
+            if fast is not None:
+                return fast
             # probe with the left side, build on the right
             pidx, bidx, total = joinops.candidate_pairs(rk, lk, nr, nl, tuple(null_safe))
 
         return self._finish_pairs_join(op, kind, lvt, rvt, pidx, bidx, total)
+
+    def _try_unique_key_join(self, op, kind, lvt, rvt, lk, rk,
+                             null_safe) -> Optional[VTable]:
+        """Direct-LUT eager join for single-int-key joins whose build side
+        (right) has unique, densely-spanned keys — the common FK shape.
+        Probes are ONE gather (through the Pallas kernels, ops/pgather.py)
+        instead of candidate_pairs' hash-sort + ~21 searchsorted gather
+        rounds, and sorted probe columns (TPC-H lineitem.l_orderkey) hit the
+        monotone windowed-gather kernel. Returns None when the shape doesn't
+        apply (duplicates, sparse span, composite keys, residual predicate).
+        Reference analogue: indexNestedLoop selection on key-FD joins,
+        OptimizeImplementations.cpp:580-660."""
+        if (len(lk) != 1 or any(null_safe)
+                or getattr(op, "null_aware", None) is not None
+                or kind not in ("inner", "semi", "anti", "left", "mark",
+                                "single")
+                or len(E.conjuncts(op.predicate)) != 1):
+            return None
+        pk, bk = lk[0], rk[0]
+        if (is_obj(pk.data) or is_obj(bk.data)
+                or not jnp.issubdtype(pk.data.dtype, jnp.integer)
+                or not jnp.issubdtype(bk.data.dtype, jnp.integer)):
+            return None
+        nl, nr = lvt.num_rows, rvt.num_rows
+        if nr > (1 << 25):
+            return None  # LUT build cost outgrows the probe win
+        bkd = bk.data.astype(jnp.int64)
+        if bk.valid is not None:
+            big = jnp.int64(1 << 62)
+            bmin = int(jnp.min(jnp.where(bk.valid, bkd, big)))
+            bmax = int(jnp.max(jnp.where(bk.valid, bkd, -big)))
+            n_valid = int(jnp.sum(bk.valid))
+        else:
+            bmin, bmax = int(jnp.min(bkd)), int(jnp.max(bkd))
+            n_valid = nr
+        if n_valid == 0:
+            return None
+        span = bmax - bmin + 1
+        if span > (1 << 26) or (span > 8 * nr and n_valid < (span >> 6)):
+            return None
+        tgt = (bkd - bmin).astype(jnp.int64)
+        if bk.valid is not None:
+            tgt = jnp.where(bk.valid, tgt, span)
+        if be.is_jax(tgt):
+            import jax.numpy as jx
+
+            lut = jx.full((span + 1,), -1, jx.int32)
+            lut = lut.at[tgt].set(jx.arange(nr, dtype=jx.int32))[:span]
+        else:
+            lut = np.full(span + 1, -1, np.int32)
+            lut[np.asarray(tgt)] = np.arange(nr, dtype=np.int32)
+            lut = lut[:span]
+        if int(jnp.sum(lut >= 0)) != n_valid:
+            return None  # duplicate build keys: not a unique-key join
+        pkd = pk.data.astype(jnp.int64)
+        p_sorted = nl >= pgather.MIN_N and bool(jnp.all(pkd[1:] >= pkd[:-1]))
+        off = pkd - bmin
+        offc = jnp.clip(off, 0, span - 1).astype(jnp.int32)
+        pos = pgather.take_fast(lut, offc, monotone=p_sorted)
+        found = (off >= 0) & (off < span) & (pos >= 0)
+        if pk.valid is not None:
+            found = found & pk.valid
+        pos = jnp.maximum(pos, 0)
+        if p_sorted:
+            # misses carry the previous hit's position so payload gathers
+            # stay monotone (masked by `found`)
+            masked = jnp.where(found, pos, 0)
+            pos = (jax.lax.cummax(masked) if be.is_jax(masked)
+                   else np.maximum.accumulate(masked))
+        if kind == "semi":
+            return lvt.select_mask(found)
+        if kind == "anti":
+            return lvt.select_mask(~found)
+        if kind == "mark":
+            cols = dict(lvt.cols)
+            cols[op.mark_col.cid] = SCol(op.mark_col.type, found, None)
+            return VTable(cols, nl)
+        if kind in ("left", "single"):
+            cols = dict(lvt.cols)
+            for c in op.right.output_cols():
+                cols[c.cid] = rvt.col(c.cid).take_with_invalid(
+                    pos, ~found, monotone=p_sorted)
+            return VTable(cols, nl)
+        # inner: compact matching probe rows once, gather both sides
+        keep = int(jnp.sum(found))
+        if keep == 0:
+            cols = {cid: _empty_like(c) for cid, c in lvt.cols.items()}
+            for c in op.right.output_cols():
+                cols[c.cid] = _empty_like(rvt.col(c.cid))
+            return VTable(cols, 0)
+        _, li = pgather.nonzero_positions(found, keep)
+        ri = pgather.take_fast(pos, li, monotone=True)
+        out = lvt.take(li, keep, monotone=True)
+        rcols = VTable({c.cid: rvt.col(c.cid)
+                        for c in op.right.output_cols()
+                        if c.cid in rvt.cols}, nr).take(ri, keep,
+                                                        monotone=p_sorted)
+        return out.merge(rcols)
 
     def _finish_pairs_join(self, op, kind, lvt, rvt, pidx, bidx, total) -> VTable:
         """Evaluate the full predicate on candidate pairs and assemble the
@@ -1863,15 +1989,26 @@ def _fused_join_step(prep, args, env, mask, n):
     i += 1
     direct = prep.get("direct")
 
+    sorted_probe = bool(prep.get("probe_sorted"))
+
     def lookup_first(valid_default=True):
         """Position of the first build row matching pimg, and a found mask."""
         if direct is not None:
             kmin, span = direct
             off = pimg - kmin
             offc = jx.clip(off, 0, span - 1)
-            p = jx.take(skeys, offc).astype(jx.int64)  # skeys IS the lut here
+            # LUT probe through the Pallas gather kernels; a sorted probe
+            # column (TPC-H lineitem is clustered by l_orderkey) makes this
+            # a monotone windowed gather at near memory speed
+            p = pgather.take_fast(skeys, offc,
+                                  monotone=sorted_probe).astype(jx.int64)
             ok = (off >= 0) & (off < span) & (p >= 0)
-            return jx.clip(p, 0, max(nb - 1, 0)), ok
+            p = jx.clip(p, 0, max(nb - 1, 0))
+            if sorted_probe and nb > 0:
+                # repair monotonicity for the payload gathers: misses carry
+                # the previous hit's position (masked out by `ok` anyway)
+                p = jax.lax.cummax(jx.where(ok, p, 0))
+            return p, ok
         p = jx.searchsorted(args[0], pimg, side="left")
         pc = jx.clip(p, 0, nb - 1)
         ok = jx.take(args[0], pc) == pimg
@@ -1923,10 +2060,13 @@ def _fused_join_step(prep, args, env, mask, n):
             data = jx.zeros((n,), jnp_dtype(t))
             valid = jx.zeros((n,), jx.bool_)
         else:
-            data = jx.take(args[i], posc, axis=0)
+            data = pgather.take_fast(args[i], posc,
+                                     monotone=sorted_probe and direct is not None)
             valid = found
             if has_valid:
-                valid = valid & jx.take(args[i + 1], posc)
+                valid = valid & pgather.take_fast(
+                    args[i + 1], posc,
+                    monotone=sorted_probe and direct is not None)
         i += 1 + (1 if has_valid else 0)
         col = SCol(t.as_nullable(), data, valid, d)
         env[cid] = col

@@ -34,6 +34,11 @@ class TableStorage:
     # ColumnStatistics::merge, src/catalog/MetaData.cpp:28-35). None = not
     # yet computed (built lazily on first stats request).
     hll_regs: list | None = None
+    # column names physically sorted ascending (clustered order) — enables
+    # monotone windowed gathers for FK probes (reference analogue: implicit
+    # clustering of dbgen data by primary key; TPC-H lineitem by l_orderkey).
+    # Cleared on append unless the appended data preserves the order.
+    sorted_cols: tuple = ()
 
     @staticmethod
     def create(name: str, names: list[str], types: list[Type]) -> "TableStorage":
@@ -64,6 +69,24 @@ class TableStorage:
 
     def append_columns(self, new_cols: list[Column]):
         n = len(new_cols[0].data)
+        if self.num_rows != 0 and self.sorted_cols:
+            # appends may break the clustered order; keep a declared column
+            # only when the appended segment continues it
+            kept = []
+            for name in self.sorted_cols:
+                i = self.col_index(name)
+                old, new = self.columns[i], new_cols[i]
+                try:
+                    d = np.asarray(new.data)
+                    ok = (len(d) == 0 or (
+                        np.all(d[1:] >= d[:-1])
+                        and (self.num_rows == 0
+                             or d[0] >= np.asarray(old.data)[-1])))
+                except TypeError:
+                    ok = False
+                if ok:
+                    kept.append(name)
+            self.sorted_cols = tuple(kept)
         if self.num_rows == 0:
             self.columns = new_cols
         else:

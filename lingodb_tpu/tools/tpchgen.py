@@ -118,11 +118,19 @@ def generate(sf: float = 0.01, seed: int = 19920601) -> dict[str, TableStorage]:
     rng = np.random.default_rng(seed)
     out: dict[str, TableStorage] = {}
 
+    # first column of each table is its clustered sort key (like dbgen's
+    # output files: lineitem comes clustered by l_orderkey, orders by
+    # o_orderkey, ...); declare it so the executor can use monotone
+    # windowed gathers for FK probes. Verified at build time.
     def table(name, cols: dict[str, Column]):
         names = list(cols.keys())
         columns = list(cols.values())
         types = [c.type for c in columns]
         t = TableStorage(name, names, types, columns, len(columns[0].data))
+        d = np.asarray(columns[0].data)
+        if len(d) == 0 or (np.issubdtype(d.dtype, np.number)
+                           and bool(np.all(d[1:] >= d[:-1]))):
+            t.sorted_cols = (names[0],)
         out[name] = t
 
     # ---- region / nation ------------------------------------------------
@@ -371,6 +379,13 @@ def load_into(session, sf: float = 0.01, seed: int = 19920601):
 
     tables = generate_cached(sf, seed)
     for name, storage in tables.items():
+        if not storage.sorted_cols:  # disk-cache loads lose the declaration
+            key = PRIMARY_KEYS.get(name, [None])[0]
+            if key is not None:
+                d = np.asarray(storage.column(key).data)
+                if np.issubdtype(d.dtype, np.number) and bool(
+                        np.all(d[1:] >= d[:-1])):
+                    storage.sorted_cols = (key,)
         session.catalog.tables[name] = TableEntry(
             name, storage.column_names, storage.column_types,
             PRIMARY_KEYS.get(name, []), storage,

@@ -98,3 +98,5 @@ SHUFFLE_MIN_ROWS = Setting("system.shuffle_min_rows", 1 << 16, int)
 # skew: a destination shard receiving more than this multiple of the mean
 # triggers the sampled heavy-hitter split (reference analogue: work stealing)
 SHUFFLE_SKEW_FACTOR = Setting("system.shuffle_skew_factor", 4.0, float)
+# Pallas kernel substrate for gathers/compaction on the real chip ("on"/"off")
+PALLAS = Setting("system.pallas", "on")
