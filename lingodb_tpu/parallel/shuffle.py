@@ -189,7 +189,7 @@ def _join_expand_fn(mesh, cap_out, n_build_payload, n_probe_payload, dtypes):
         build_of = jnp.take(order, jnp.clip(slot, 0, mb - 1))
         in_range = pos < total
         pair_valid = in_range & jnp.take(bv, build_of) & jnp.take(pv, probe_of)
-        outs = [pair_valid, probe_of.astype(jnp.int64)]
+        outs = [pair_valid, probe_of.astype(jnp.int64), build_of.astype(jnp.int64)]
         for c in bcols:
             outs.append(jnp.take(c, build_of))
         for c in pcols:
@@ -199,14 +199,15 @@ def _join_expand_fn(mesh, cap_out, n_build_payload, n_probe_payload, dtypes):
     return jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(ax),) * (4 + len(dtypes)),
-        out_specs=(P(ax),) * (2 + len(dtypes))))
+        out_specs=(P(ax),) * (3 + len(dtypes))))
 
 
 def join_pairs(mesh, bh, bv, ph, pv, build_payload: list, probe_payload: list):
     """Per-shard equi-candidate expansion over exchanged sides. Inputs are the
     sharded arrays produced by exchange(); hashes must already encode NULL-key
-    sentinels. Returns (pair_valid, local_probe_idx, gathered build payload,
-    gathered probe payload, local pair capacity). All gathers are on-shard."""
+    sentinels. Returns (pair_valid, local_probe_idx, local_build_idx, gathered
+    build payload, gathered probe payload, local pair capacity). All gathers
+    are on-shard."""
     ax = _axis(mesh)
     n = mesh.shape[ax]
     totals = np.asarray(jax.device_get(
@@ -214,14 +215,15 @@ def join_pairs(mesh, bh, bv, ph, pv, build_payload: list, probe_payload: list):
     cap_out = max(int(totals.max()), 1)
     dtypes = tuple(str(a.dtype) for a in build_payload + probe_payload)
     fn = _cached(
-        ("jx", n, cap_out, len(build_payload), len(probe_payload), dtypes),
+        ("jx2", n, cap_out, len(build_payload), len(probe_payload), dtypes),
         lambda: _join_expand_fn(mesh, cap_out, len(build_payload),
                                 len(probe_payload), dtypes))
     out = fn(bh, bv, ph, pv, *build_payload, *probe_payload)
-    pair_valid, probe_idx = out[0], out[1]
+    pair_valid, probe_idx, build_idx = out[0], out[1], out[2]
     nb = len(build_payload)
     STATS["joins"] += 1
-    return (pair_valid, probe_idx, list(out[2:2 + nb]), list(out[2 + nb:]),
+    return (pair_valid, probe_idx, build_idx,
+            list(out[3:3 + nb]), list(out[3 + nb:]),
             cap_out, int(totals.sum()))
 
 
@@ -239,17 +241,55 @@ def _flags_fn(mesh, probe_len):
 
 def probe_flags(mesh, pair_ok, probe_idx, probe_local_len):
     """Per exchanged-probe-row: any passing pair (for semi/anti/mark/left).
-    probe_idx are shard-local indices, so the reduction is shard-local."""
+    probe_idx are shard-local indices, so the reduction is shard-local.
+    Works symmetrically for build-side flags (pass build_idx + build len)."""
     n = mesh.shape[_axis(mesh)]
     fn = _cached(("fl", n, probe_local_len), lambda: _flags_fn(mesh, probe_local_len))
     return fn(pair_ok, probe_idx)
 
 
+def _single_pick_fn(mesh, probe_len, dtypes):
+    ax = _axis(mesh)
+
+    def local(pair_ok, probe_idx, *arrays):
+        m = pair_ok.shape[0]
+        pos = jnp.arange(m, dtype=jnp.int64)
+        slot = jax.ops.segment_min(
+            jnp.where(pair_ok, pos, jnp.int64(m)),
+            probe_idx.astype(jnp.int32), num_segments=probe_len)
+        found = slot < m
+        cl = jnp.clip(slot, 0, m - 1)
+        return (found,) + tuple(jnp.take(a, cl) for a in arrays)
+
+    k = len(dtypes)
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(ax),) * (2 + k),
+        out_specs=(P(ax),) * (1 + k)))
+
+
+def single_pick(mesh, pair_ok, probe_idx, probe_local_len, arrays: list):
+    """Per exchanged-probe-row: pick the FIRST passing pair's values from the
+    pair-aligned `arrays` (for single joins: at most one build match survives
+    per probe row; ties resolve to the lowest pair slot). Returns
+    (found_flags, picked_arrays) aligned to the exchanged probe rows."""
+    n = mesh.shape[_axis(mesh)]
+    dtypes = tuple(str(a.dtype) for a in arrays)
+    fn = _cached(("sp", n, probe_local_len, dtypes),
+                 lambda: _single_pick_fn(mesh, probe_local_len, dtypes))
+    out = fn(pair_ok, probe_idx, *arrays)
+    return out[0], list(out[1:])
+
+
 # ------------------------------------------------------------ local groupby
 def _group_fn(mesh, n_imgs, n_reps, agg_descr):
-    """agg_descr: tuple of (kind, dtype_str) with kind in {sum, count, min,
-    max}, each consuming a (vals, valid) input pair. sum/min/max additionally
-    emit the per-group non-null count (for SQL NULL-on-empty semantics)."""
+    """agg_descr: tuple of (kind, n_arrays, dtypes) with kind in {sum, count,
+    min, max, cdist, sdist}, each consuming n_arrays value inputs plus one
+    valid mask. sum/min/max take (vals,); cdist takes the argument's grouping
+    images; sdist takes (*images, vals). sum/min/max/sdist additionally emit
+    the per-group non-null(-distinct) count (for SQL NULL-on-empty
+    semantics); cdist emits the distinct non-null count. Distinct kinds are
+    exact here because after a keyed exchange every group lives wholly on
+    this shard (reference: nested dedup aggregation, RelAlgToSubOp.cpp)."""
     ax = _axis(mesh)
 
     def local(v, *rest):
@@ -257,20 +297,24 @@ def _group_fn(mesh, n_imgs, n_reps, agg_descr):
         imgs = rest[:n_imgs]
         reps = rest[n_imgs:n_imgs + n_reps]
         avs = rest[n_imgs + n_reps:]
+        vkey = jnp.where(v, 0, 1).astype(jnp.int32)
+
+        def boundaries(res_imgs, sv):
+            b = jnp.zeros((m,), jnp.bool_).at[0].set(True)
+            for s in res_imgs:
+                b = b | jnp.concatenate(
+                    [jnp.ones((1,), jnp.bool_), s[1:] != s[:-1]])
+            prev_sv = jnp.concatenate([jnp.zeros((1,), jnp.bool_), sv[:-1]])
+            return (b | ~prev_sv) & sv
+
         # sort: invalid rows last, then group keys
-        keys = [jnp.where(v, 0, 1).astype(jnp.int32)] + [
-            jnp.asarray(i) for i in imgs] + [jnp.arange(m, dtype=jnp.int64)]
+        keys = [vkey] + [jnp.asarray(i) for i in imgs] + [
+            jnp.arange(m, dtype=jnp.int64)]
         res = jax.lax.sort(keys, num_keys=len(keys))
         sv = res[0] == 0
         simgs = res[1:1 + n_imgs]
         order = res[-1]
-        first = jnp.zeros((m,), jnp.bool_).at[0].set(True)
-        boundary = first
-        for s in simgs:
-            boundary = boundary | jnp.concatenate(
-                [jnp.ones((1,), jnp.bool_), s[1:] != s[:-1]])
-        prev_sv = jnp.concatenate([jnp.zeros((1,), jnp.bool_), sv[:-1]])
-        boundary = (boundary | ~prev_sv) & sv
+        boundary = boundaries(simgs, sv)
         seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1
         segc = jnp.clip(seg, 0, m - 1)
         num_groups = jnp.sum(boundary.astype(jnp.int32))
@@ -283,9 +327,44 @@ def _group_fn(mesh, n_imgs, n_reps, agg_descr):
         for r in reps:
             outs.append(jnp.take(r, rep_row))
         ai = 0
-        for kind, _dt in agg_descr:
-            vals, avalid = avs[ai], avs[ai + 1]
-            ai += 2
+        for kind, n_arr, _dts in agg_descr:
+            arrays = avs[ai:ai + n_arr]
+            avalid = avs[ai + n_arr]
+            ai += n_arr + 1
+            if kind in ("cdist", "sdist"):
+                # secondary sort including the argument images: groups appear
+                # in the same order as the main sort (both sort by the group
+                # images first), so per-group outputs align positionally.
+                aimgs = arrays[:-1] if kind == "sdist" else arrays
+                dvals = arrays[-1] if kind == "sdist" else None
+                keys2 = ([vkey] + [jnp.asarray(i) for i in imgs]
+                         + [(~avalid).astype(jnp.int32)]
+                         + [jnp.asarray(a) for a in aimgs])
+                carried = [avalid] + ([dvals] if dvals is not None else [])
+                res2 = jax.lax.sort(keys2 + carried, num_keys=len(keys2))
+                sv2 = res2[0] == 0
+                simgs2 = res2[1:1 + n_imgs]
+                saimgs = res2[2 + n_imgs:2 + n_imgs + len(aimgs)]
+                sav = res2[len(keys2)]
+                b2 = boundaries(simgs2, sv2)
+                seg2 = jnp.clip(jnp.cumsum(b2.astype(jnp.int32)) - 1, 0, m - 1)
+                uniq = b2
+                for s in saimgs:
+                    uniq = uniq | jnp.concatenate(
+                        [jnp.ones((1,), jnp.bool_), s[1:] != s[:-1]])
+                uniq = uniq & sv2 & sav  # distinct NON-NULL values only
+                dcnt = jax.ops.segment_sum(
+                    uniq.astype(jnp.int64), seg2, num_segments=m)
+                if kind == "cdist":
+                    outs.append(dcnt)
+                else:
+                    sval = res2[len(keys2) + 1]
+                    outs.append(jax.ops.segment_sum(
+                        jnp.where(uniq, sval, jnp.zeros((), sval.dtype)),
+                        seg2, num_segments=m))
+                    outs.append(dcnt)
+                continue
+            vals = arrays[0]
             x = jnp.take(vals, order)
             xv = jnp.take(avalid, order) & sv
             cnt = jax.ops.segment_sum(xv.astype(jnp.int64), segc, num_segments=m)
@@ -308,8 +387,9 @@ def _group_fn(mesh, n_imgs, n_reps, agg_descr):
             outs.append(cnt)
         return tuple(outs)
 
-    n_in = 1 + n_imgs + n_reps + 2 * len(agg_descr)
-    n_out = 1 + n_reps + sum(1 if k == "count" else 2 for k, _d in agg_descr)
+    n_in = 1 + n_imgs + n_reps + sum(na + 1 for _k, na, _d in agg_descr)
+    n_out = 1 + n_reps + sum(1 if k in ("count", "cdist") else 2
+                             for k, _na, _d in agg_descr)
     return jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=(P(ax),) * n_in, out_specs=(P(ax),) * n_out))
 
@@ -393,18 +473,22 @@ def sample_sort(mesh, operands: list, payload: list):
 def grouped_reduce(mesh, valid, key_imgs: list, rep_cols: list, aggs: list):
     """Per-shard final grouping of exchanged rows.
     valid/key_imgs/rep_cols: sharded arrays from exchange(); aggs: list of
-    (kind, vals, valid_mask) with kind in {sum,count,min,max}.
+    (kind, arrays, valid_mask) with kind in {sum,count,min,max,cdist,sdist};
+    arrays is [vals] for sum/count/min/max, the argument's grouping images
+    for cdist, and [*images, vals] for sdist.
     Returns (group_valid, rep_cols_out, agg_outs) — padded, sharded; agg_outs
-    entries are (value,) for count and (value, nonnull_count) otherwise."""
+    entries are (value,) for count/cdist and (value, nonnull_count)
+    otherwise."""
     n = mesh.shape[_axis(mesh)]
-    descr = tuple((k, str(v.dtype)) for k, v, _m in aggs)
+    descr = tuple((k, len(arrs), tuple(str(a.dtype) for a in arrs))
+                  for k, arrs, _m in aggs)
     img_d = tuple(str(i.dtype) for i in key_imgs)
     rep_d = tuple(str(r.dtype) for r in rep_cols)
-    fn = _cached(("gr", n, img_d, rep_d, descr),
+    fn = _cached(("gr2", n, img_d, rep_d, descr),
                  lambda: _group_fn(mesh, len(key_imgs), len(rep_cols), descr))
     flat = []
-    for _k, v, m in aggs:
-        flat.append(v)
+    for _k, arrs, m in aggs:
+        flat.extend(arrs)
         flat.append(m)
     out = fn(valid, *key_imgs, *rep_cols, *flat)
     gvalid = out[0]
@@ -412,8 +496,8 @@ def grouped_reduce(mesh, valid, key_imgs: list, rep_cols: list, aggs: list):
     rest = list(out[1 + len(rep_cols):])
     aouts = []
     i = 0
-    for k, _v, _m in aggs:
-        if k == "count":
+    for k, _arrs, _m in aggs:
+        if k in ("count", "cdist"):
             aouts.append((rest[i],))
             i += 1
         else:

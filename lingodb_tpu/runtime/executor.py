@@ -247,9 +247,10 @@ class Executor:
         n = vt.num_rows
         if mesh is None or n < int(get_setting("system.shuffle_min_rows")):
             return None
-        if any(getattr(c.data, "dtype", None) == np.object_
-               for c in vt.cols.values()):
-            return None  # wide python-int decimals: host objects cannot ship
+        if any(getattr(vt.col(k.cid).data, "dtype", None) == np.object_
+               for k in op.keys):
+            return None  # wide-decimal SORT KEYS have no device order image
+                         # (object payload columns ship as int64 limbs)
 
         import jax.numpy as jnx
 
@@ -260,7 +261,10 @@ class Executor:
         # original row index: stability tiebreak AND makes splitter tuples
         # unique, which keeps duplicate-heavy key ranges balanced
         operands.append(jnx.arange(n, dtype=jnx.int64))
-        layout, arrays = _flatten_vt(vt)
+        try:
+            layout, arrays = _flatten_vt(vt)
+        except _WideShip:
+            return None
         arrays = [jnx.broadcast_to(jnx.asarray(a), (n,)) for a in arrays]
         valid, out, _cap = sh.sample_sort(mesh, operands, arrays)
         v_np = np.asarray(jax.device_get(valid))
@@ -1256,7 +1260,8 @@ class Executor:
                 a, b = _unify_string_keys(a, b)
                 lk.append(sc._bcast(a, nl))
                 rk.append(sc._bcast(b, nr))
-            if (kind in ("inner", "semi", "anti", "left", "mark")
+            if (kind in ("inner", "semi", "anti", "left", "mark", "single",
+                         "full")
                     and op.null_aware is None):
                 sharded = self._try_sharded_join(op, kind, lvt, rvt, lk, rk,
                                                  null_safe)
@@ -1543,8 +1548,11 @@ class Executor:
             hb = jnx.where(jnx.asarray(bko), hb, jnx.uint64(0xFFFFFFFFFFFFFFFF))
         pko = jnx.ones((nl,), jnx.bool_) if pko is None else jnx.asarray(pko)
 
-        playout, parrs = _flatten_vt(lvt)
-        blayout, barrs = _flatten_vt(rvt)
+        try:
+            playout, parrs = _flatten_vt(lvt)
+            blayout, barrs = _flatten_vt(rvt)
+        except _WideShip:
+            return None
         n_ax = mesh.shape[mesh.axis_names[0]]
         dest_p = sh.hash_dest(mesh, hp)
         dest_b = sh.hash_dest(mesh, hb)
@@ -1553,10 +1561,11 @@ class Executor:
         # probe rows than the mean, keys sampled as hot keep their probe rows
         # local and have their build rows replicated to every shard
         # (reference analogue: morsel work-stealing rebalances skew,
-        # LingoDBTable.cpp:409-455)
+        # LingoDBTable.cpp:409-455). Skipped for FULL joins: replicated
+        # build rows would emit their unmatched NULL-extended row per shard.
         skewf = float(get_setting("system.shuffle_skew_factor"))
         recv = sh.dest_counts(mesh, dest_p).sum(axis=0)
-        if recv.max() > skewf * max(float(recv.mean()), 1.0):
+        if kind != "full" and recv.max() > skewf * max(float(recv.mean()), 1.0):
             step = max(1, nl // (1 << 16))
             samp = np.asarray(jax.device_get(hp[::step]))
             vals_u, cnts_u = np.unique(samp, return_counts=True)
@@ -1582,12 +1591,12 @@ class Executor:
                     valid_b = jnx.concatenate([
                         ~heavy_b, jnx.ones((nh * n_ax,), jnx.bool_)])
         pv_ex, pouts, lp = sh.exchange(mesh, dest_p, [hp, pko] + parrs)
-        bv_ex, bouts, _lb = sh.exchange(mesh, dest_b, [hb] + barrs, valid_b)
+        bv_ex, bouts, lb = sh.exchange(mesh, dest_b, [hb] + barrs, valid_b)
         hp_ex, pko_ex = pouts[0], pouts[1]
         probe_ex = _rebuild_vt(lvt, playout, pouts[2:], n_ax * lp)
-        pair_valid, probe_idx, bpair, ppair, cap_out, total = sh.join_pairs(
-            mesh, bouts[0], bv_ex, hp_ex, pv_ex & pko_ex,
-            bouts[1:], pouts[2:])
+        pair_valid, probe_idx, build_idx, bpair, ppair, cap_out, total = \
+            sh.join_pairs(mesh, bouts[0], bv_ex, hp_ex, pv_ex & pko_ex,
+                          bouts[1:], pouts[2:])
         glen = n_ax * cap_out
         build_pair = _rebuild_vt(rvt, blayout, bpair, glen)
         probe_pair = _rebuild_vt(lvt, playout, ppair, glen)
@@ -1611,15 +1620,49 @@ class Executor:
             cols = dict(probe_ex.cols)
             cols[op.mark_col.cid] = SCol(op.mark_col.type, flags, None)
             return VTable(cols, n_ax * lp).select_mask(pv_ex)
-        # left join: matched pairs + unmatched probe rows with NULL right cols
+        if kind == "single":
+            # at most one build match per probe row (scalar-subquery shape):
+            # pick the first passing pair's build payload per exchanged probe
+            # row, NULL where none (reference: SingleJoin lowering,
+            # RelAlgToSubOp.cpp — produces exactly one output row per left row)
+            found, picked = sh.single_pick(mesh, pair_ok, probe_idx, lp, bpair)
+            right_vt = _rebuild_vt(rvt, blayout, picked, n_ax * lp)
+            cols = dict(probe_ex.cols)
+            for c in op.right.output_cols():
+                scol = right_vt.col(c.cid)
+                f = found
+                if is_obj(scol.data):
+                    f = np.asarray(jax.device_get(found))
+                v = f if scol.valid is None else (scol.valid & f)
+                cols[c.cid] = SCol(scol.type.as_nullable(), scol.data, v,
+                                   scol.dictionary)
+            return VTable(cols, n_ax * lp).select_mask(pv_ex)
+        # left/full join: matched pairs + unmatched probe rows with NULL right
+        # cols (+ for full: unmatched build rows with NULL left cols)
         inner = VTable({**probe_pair.cols, **build_pair.cols}, glen).select_mask(pair_ok)
         unmatched = probe_ex.select_mask(~flags & pv_ex)
-        if unmatched.num_rows == 0:
-            return inner
-        cols = dict(unmatched.cols)
-        for c in op.right.output_cols():
-            cols[c.cid] = _null_scol(rvt.col(c.cid), unmatched.num_rows)
-        return _vconcat(inner, VTable(cols, unmatched.num_rows), op.output_cols())
+        parts = [inner]
+        if unmatched.num_rows:
+            cols = dict(unmatched.cols)
+            for c in op.right.output_cols():
+                cols[c.cid] = _null_scol(rvt.col(c.cid), unmatched.num_rows)
+            parts.append(VTable(cols, unmatched.num_rows))
+        if kind == "full":
+            bflags = sh.probe_flags(mesh, pair_ok, build_idx, lb)
+            build_ex = _rebuild_vt(rvt, blayout, bouts[1:], n_ax * lb)
+            un_b = build_ex.select_mask(~bflags & bv_ex)
+            if un_b.num_rows:
+                cols = {cid: _null_scol(lvt.col(cid), un_b.num_rows)
+                        for cid in lvt.cols}
+                for c in op.right.output_cols():
+                    cols[c.cid] = un_b.col(c.cid)
+                parts.append(VTable(cols, un_b.num_rows))
+        if len(parts) == 1:
+            return parts[0]
+        out = parts[0]
+        for p in parts[1:]:
+            out = _vconcat(out, p, op.output_cols())
+        return out
 
     _SHARDED_AGG_FNS = {"sum", "count", "count_star", "min", "max"}
 
@@ -1641,9 +1684,17 @@ class Executor:
         n = vt.num_rows
         if n < int(get_setting("system.shuffle_min_rows")):
             return None
+        has_distinct = False
         for spec in op.aggs:
-            if spec.distinct or spec.fn not in self._SHARDED_AGG_FNS:
+            if spec.fn not in self._SHARDED_AGG_FNS:
                 return None
+            arg = None if spec.arg is None else vt.col(spec.arg)
+            if arg is not None and is_obj(arg.data):
+                return None  # wide-decimal agg args stay on the local path
+            if spec.distinct:
+                if spec.fn == "count_star":
+                    return None
+                has_distinct = True
         key_cols = [vt.col(c) for c in op.group_by]
         if gb.dense_gid(key_cols)[0] is not None:
             return None  # small dense domain: psum partial-agg path is cheaper
@@ -1654,63 +1705,102 @@ class Executor:
         h = jnx.asarray(hashing.hash_columns(key_cols))
         rep_layout, rep_arrays = _flatten_vt(
             VTable({c.cid: vt.col(c.cid) for c in op.group_cols}, n))
-        aggs_in = []  # (kind, vals, valid)
+        aggs_in = []  # (kind, [arrays], valid)
         for spec in op.aggs:
             arg = None if spec.arg is None else vt.col(spec.arg)
             av = (jnx.ones((n,), jnx.bool_) if arg is None or arg.valid is None
                   else jnx.asarray(arg.valid))
-            if spec.fn in ("count", "count_star"):
-                aggs_in.append(("count", jnx.ones((n,), jnx.int64), av))
+            if spec.distinct and spec.fn in ("count", "sum"):
+                aimgs = [jnx.broadcast_to(jnx.asarray(x), (n,))
+                         for x in keymod.grouping_images([arg])]
+                if spec.fn == "count":
+                    aggs_in.append(("cdist", aimgs, av))
+                else:
+                    vals = jnx.asarray(arg.data).astype(jnp_dtype(spec.out.type))
+                    aggs_in.append(("sdist", aimgs + [vals], av))
+            elif spec.fn in ("count", "count_star"):
+                aggs_in.append(("count", [jnx.ones((n,), jnx.int64)], av))
             elif spec.fn == "sum":
                 vals = jnx.asarray(arg.data).astype(jnp_dtype(spec.out.type))
-                aggs_in.append(("sum", vals, av))
-            else:  # min / max
-                aggs_in.append((spec.fn, jnx.asarray(arg.data), av))
+                aggs_in.append(("sum", [vals], av))
+            else:  # min / max (DISTINCT is a no-op for them)
+                aggs_in.append((spec.fn, [jnx.asarray(arg.data)], av))
 
-        # round 1: local pre-aggregation on the existing row sharding — the
-        # ThreadLocal combiner (reference: per-thread PreAggregationHashtable
-        # fragments). Makes the exchange volume proportional to local group
-        # counts, which also makes it skew-proof (a hot key contributes one
-        # partial row per shard, not its full row count).
-        v1 = sh.shard_put(mesh, jnx.ones((n,), jnx.bool_))[0]
-        imgs1 = [sh.shard_put(mesh, x)[0] for x in imgs]
-        reps1 = [sh.shard_put(mesh, x)[0] for x in [h] + imgs + rep_arrays]
-        aggs1 = [(k, sh.shard_put(mesh, v)[0], sh.shard_put(mesh, m)[0])
-                 for k, v, m in aggs_in]
-        gv1, reps_o1, agg_o1 = sh.grouped_reduce(mesh, v1, imgs1, reps1, aggs1)
-        h1 = reps_o1[0]
-        imgs_p = reps_o1[1:1 + len(imgs)]
-        reps_p = reps_o1[1 + len(imgs):]
-
-        # round 2: exchange partial groups by key hash, final local grouping
-        aggs2 = []  # parallel to op.aggs: (main_idx, cnt_idx or None)
-        flat2 = []
-        for (k, _v, _m), res in zip(aggs_in, agg_o1):
-            if k == "count":
-                aggs2.append((len(flat2), None))
-                flat2.append(("sum", res[0], gv1))
-            else:
-                val, cnt = res
-                aggs2.append((len(flat2), len(flat2) + 1))
-                flat2.append((k, val, gv1 & (cnt > 0)))
-                flat2.append(("sum", cnt, gv1))
-        arrays2 = list(imgs_p) + list(reps_p) + [a for _k, v, m in flat2 for a in (v, m)]
-        dest2 = sh.hash_dest(mesh, h1)
-        ex_valid, outs, _lp = sh.exchange(mesh, dest2, arrays2, gv1)
         ni, nr_ = len(imgs), len(rep_arrays)
-        flat2_ex = [(k, outs[ni + nr_ + 2 * i], outs[ni + nr_ + 2 * i + 1])
-                    for i, (k, _v, _m) in enumerate(flat2)]
-        gvalid, reps_out, agg_out = sh.grouped_reduce(
-            mesh, ex_valid, outs[:ni], outs[ni:ni + nr_], flat2_ex)
+        if has_distinct:
+            # distinct aggregates cannot pre-combine, so ship the raw rows
+            # keyed by group hash: after the exchange every group lives wholly
+            # on one shard and the local distinct grouping is exact
+            # (reference: nested dedup aggregation, RelAlgToSubOp.cpp)
+            flat_in = []
+            for _k, arrs, m in aggs_in:
+                flat_in.extend(arrs)
+                flat_in.append(m)
+            dest = sh.hash_dest(mesh, h)
+            ex_valid, outs, _lp = sh.exchange(
+                mesh, dest, list(imgs) + rep_arrays + flat_in)
+            pos = ni + nr_
+            flat_ex = []
+            for k, arrs, _m in aggs_in:
+                na = len(arrs)
+                flat_ex.append((k, list(outs[pos:pos + na]), outs[pos + na]))
+                pos += na + 1
+            gvalid, reps_out, agg_out = sh.grouped_reduce(
+                mesh, ex_valid, outs[:ni], outs[ni:ni + nr_], flat_ex)
+            final = [(agg_out[i][0],
+                      None if aggs_in[i][0] in ("count", "cdist")
+                      else agg_out[i][1])
+                     for i in range(len(op.aggs))]
+        else:
+            # round 1: local pre-aggregation on the existing row sharding —
+            # the ThreadLocal combiner (reference: per-thread
+            # PreAggregationHashtable fragments). Makes the exchange volume
+            # proportional to local group counts, which also makes it
+            # skew-proof (a hot key contributes one partial row per shard,
+            # not its full row count).
+            v1 = sh.shard_put(mesh, jnx.ones((n,), jnx.bool_))[0]
+            imgs1 = [sh.shard_put(mesh, x)[0] for x in imgs]
+            reps1 = [sh.shard_put(mesh, x)[0] for x in [h] + imgs + rep_arrays]
+            aggs1 = [(k, [sh.shard_put(mesh, a)[0] for a in arrs],
+                      sh.shard_put(mesh, m)[0])
+                     for k, arrs, m in aggs_in]
+            gv1, reps_o1, agg_o1 = sh.grouped_reduce(mesh, v1, imgs1, reps1,
+                                                     aggs1)
+            h1 = reps_o1[0]
+            imgs_p = reps_o1[1:1 + len(imgs)]
+            reps_p = reps_o1[1 + len(imgs):]
+
+            # round 2: exchange partial groups by key hash, final local group
+            aggs2 = []  # parallel to op.aggs: (main_idx, cnt_idx or None)
+            flat2 = []
+            for (k, _arrs, _m), res in zip(aggs_in, agg_o1):
+                if k == "count":
+                    aggs2.append((len(flat2), None))
+                    flat2.append(("sum", [res[0]], gv1))
+                else:
+                    val, cnt = res
+                    aggs2.append((len(flat2), len(flat2) + 1))
+                    flat2.append((k, [val], gv1 & (cnt > 0)))
+                    flat2.append(("sum", [cnt], gv1))
+            arrays2 = list(imgs_p) + list(reps_p) + [
+                a for _k, arrs, m in flat2 for a in (arrs[0], m)]
+            dest2 = sh.hash_dest(mesh, h1)
+            ex_valid, outs, _lp = sh.exchange(mesh, dest2, arrays2, gv1)
+            flat2_ex = [(k, [outs[ni + nr_ + 2 * i]], outs[ni + nr_ + 2 * i + 1])
+                        for i, (k, _arrs, _m) in enumerate(flat2)]
+            gvalid, reps_out, agg_out = sh.grouped_reduce(
+                mesh, ex_valid, outs[:ni], outs[ni:ni + nr_], flat2_ex)
+            final = []
+            for mi, ci in aggs2:
+                final.append((agg_out[mi][0],
+                              None if ci is None else agg_out[ci][0]))
         glen = gvalid.shape[0]
         cols = dict(_rebuild_vt(vt, rep_layout, reps_out, glen).cols)
-        for spec, (mi, ci) in zip(op.aggs, aggs2):
+        for spec, (val, cnt) in zip(op.aggs, final):
             arg = None if spec.arg is None else vt.col(spec.arg)
-            if spec.fn in ("count", "count_star"):
-                cols[spec.out.cid] = SCol(spec.out.type, agg_out[mi][0], None)
+            if cnt is None:  # count / count distinct: 0 on empty, never NULL
+                cols[spec.out.cid] = SCol(spec.out.type, val, None)
                 continue
-            val = agg_out[mi][0]
-            cnt = agg_out[ci][0]
             if jnp_dtype(spec.out.type) == jnp.bool_:
                 val = val > 0
             dic = arg.dictionary if spec.fn in ("min", "max") else None
@@ -2108,28 +2198,69 @@ def _empty_scol(t: Type) -> SCol:
                 np.zeros(0, dtype=object) if t.is_string else None)
 
 
+class _WideShip(Exception):
+    """A wide-decimal value beyond 127 bits cannot limb-split for the mesh
+    exchange; callers fall back to the local (replicated) path."""
+
+
+def _obj_to_limbs(a: np.ndarray):
+    """Host object array of Python ints -> (hi, lo) int64 limb arrays that
+    CAN ship over the mesh (covers the reference's full i128 range,
+    LowerToStd.cpp:128-330; SQL decimal(38) needs 127 bits)."""
+    try:
+        hi = np.array([int(x) >> 64 for x in a], dtype=np.int64)
+    except OverflowError as e:
+        raise _WideShip() from e
+    lo = np.array([int(x) & 0xFFFFFFFFFFFFFFFF for x in a],
+                  dtype=np.uint64).view(np.int64)
+    return hi, lo
+
+
+def _limbs_to_obj(hi, lo) -> np.ndarray:
+    hi = np.asarray(jax.device_get(hi)).astype(np.int64)
+    lo = np.asarray(jax.device_get(lo)).astype(np.int64).view(np.uint64)
+    return np.array([(int(h) << 64) | int(lw) for h, lw in zip(hi, lo)],
+                    dtype=np.object_)
+
+
 def _flatten_vt(vt: VTable):
     """VTable -> (layout, flat array list) for the shuffle exchange; rebuild
-    with _rebuild_vt using the same layout."""
+    with _rebuild_vt using the same layout. Wide-decimal object columns
+    (host Python ints) limb-split into two int64 arrays so they can ship;
+    raises _WideShip when a value exceeds 127 bits."""
     layout, arrays = [], []
     for cid, c in vt.cols.items():
-        layout.append((cid, c.valid is not None))
-        arrays.append(c.data)
+        wide = getattr(c.data, "dtype", None) == np.object_
+        layout.append((cid, c.valid is not None, wide))
+        if wide:
+            hi, lo = _obj_to_limbs(c.data)
+            arrays.append(hi)
+            arrays.append(lo)
+        else:
+            arrays.append(c.data)
         if c.valid is not None:
-            arrays.append(c.valid)
+            arrays.append(np.asarray(c.valid) if wide and not isinstance(
+                c.valid, jnp.ndarray) else c.valid)
     return layout, arrays
 
 
 def _rebuild_vt(src: VTable, layout, arrays, n: int) -> VTable:
     cols = {}
     i = 0
-    for cid, hasv in layout:
+    for cid, hasv, *rest in layout:
         t = src.cols[cid]
-        data = arrays[i]
-        i += 1
+        wide = rest[0] if rest else False
+        if wide:
+            data = _limbs_to_obj(arrays[i], arrays[i + 1])
+            i += 2
+        else:
+            data = arrays[i]
+            i += 1
         valid = None
         if hasv:
             valid = arrays[i]
+            if wide:
+                valid = np.asarray(jax.device_get(valid))
             i += 1
         cols[cid] = SCol(t.type, data, valid, t.dictionary)
     return VTable(cols, n)

@@ -362,11 +362,30 @@ class _LazyDeviceTable:
             col = self._storage.column(key)
             with tracer.Trace("runtime", f"upload:{self._storage.name}.{key}"):
                 if mesh is not None:
-                    data, _ = dv.shard_column(np.asarray(col.data), mesh)
-                    valid = None
-                    if col.valid is not None:
-                        valid, _ = dv.shard_column(np.asarray(col.valid), mesh)
-                    c = SCol(col.type, data, valid, col.dictionary)
+                    dnp = np.asarray(col.data)
+                    if dnp.dtype == np.object_:
+                        # wide decimals (host Python ints) cannot live on
+                        # device; keep them host-side, padded to the sharded
+                        # row count (the shuffle layer limb-splits them into
+                        # int64 pairs when they must cross the mesh)
+                        total = self["__num_rows__"]
+                        valid = col.valid
+                        if dnp.shape[0] < total:
+                            pad = total - dnp.shape[0]
+                            dnp = np.concatenate(
+                                [dnp, np.full(pad, 0, dtype=object)])
+                            if valid is not None:
+                                valid = np.concatenate([
+                                    np.asarray(valid),
+                                    np.zeros(pad, np.bool_)])
+                        c = SCol(col.type, dnp, valid, col.dictionary)
+                    else:
+                        data, _ = dv.shard_column(dnp, mesh)
+                        valid = None
+                        if col.valid is not None:
+                            valid, _ = dv.shard_column(
+                                np.asarray(col.valid), mesh)
+                        c = SCol(col.type, data, valid, col.dictionary)
                 elif self._storage.num_rows < dv.SMALL_ROWS:
                     # small tables stay host numpy: operators run through the
                     # numpy twin backend with zero XLA compilation

@@ -31,7 +31,7 @@ def meshed():
     dv.SMALL_ROWS, dv._MESH, dv._MESH_INIT = old_small, old_mesh, old_init
 
 
-@pytest.mark.parametrize("q", [1, 3, 6, 12, 14])
+@pytest.mark.parametrize("q", list(range(1, 23)))
 def test_mesh_query_matches_oracle(q, meshed):
     from lingodb_tpu.tools import sqlite_oracle as so
 

@@ -182,6 +182,92 @@ def test_distributed_sample_sort(env):
     assert len(ours) == 6000
 
 
+def test_sharded_full_outer_join(env):
+    """FULL joins shuffle both sides and emit unmatched rows from each:
+    matched pairs + NULL-extended probe rows + NULL-extended build rows
+    (reference: ParallelizePass.cpp parallelizes every join kind)."""
+    _check(env, "select o.okey, o.cust, l.qty from orders o "
+                "full join lines l on o.okey = l.okey and l.qty > 40",
+           {"joins": 1, "exchanges": 2})
+
+
+def test_sharded_single_join_scalar_subquery(env):
+    """Correlated scalar subqueries lower to single joins (binder.py:1510);
+    over the mesh the first passing pair per probe row is picked shard-locally
+    after the keyed exchange."""
+    _check(env, "select l.okey, l.qty, (select o.cust from orders o "
+                "where o.okey = l.okey) from lines l",
+           {"joins": 1})
+
+
+def test_sharded_count_distinct(env):
+    """DISTINCT aggregates ship raw rows keyed by group hash (no two-round
+    pre-combine) so each group's distinct set is complete on one shard."""
+    _check(env, "select l.okey, count(distinct l.flag), count(*) "
+                "from lines l group by l.okey",
+           {"groupbys": 1, "exchanges": 1})
+
+
+def test_sharded_sum_distinct_mixed(env):
+    _check(env, "select l.okey, sum(distinct l.qty), min(l.qty), "
+                "count(distinct l.qty) from lines l group by l.okey",
+           {"groupbys": 1})
+
+
+def test_build_side_skew_correctness(env):
+    """7/8 of BUILD rows share one key: the sampled split only watches the
+    probe side, so this must stay correct through plain hash partitioning."""
+    import pyarrow as pa
+
+    s, con = env
+    rng = np.random.default_rng(13)
+    nb = 6000
+    bk = np.full(nb, 7, dtype="int64")
+    bk[: nb // 8] = rng.integers(0, 50, nb // 8)
+    bv = rng.integers(1, 100, nb).astype("int64")
+    s.add_table("bskew", pa.table({"k": pa.array(bk), "v": pa.array(bv)}))
+    con.execute("create table bskew(k int, v int)")
+    con.executemany("insert into bskew values (?,?)",
+                    [(int(a), int(b)) for a, b in zip(bk, bv)])
+    _check(env, "select l.okey, count(*), sum(b.v) from lines l, bskew b "
+                "where l.okey = b.k group by l.okey",
+           {"joins": 1})
+
+
+def test_wide_decimal_payload_ships_over_mesh(env):
+    """decimal(38) payloads beyond int64 limb-split into (hi, lo) int64
+    arrays for the exchange and reassemble exactly on the far side
+    (reference: i128 runtime values, DBToStd lowering)."""
+    from decimal import Decimal
+
+    import pyarrow as pa
+
+    from lingodb_tpu.parallel import shuffle as sh
+
+    s, _ = env
+    n = 2000
+    ks = (np.arange(n, dtype="int64") * 7) % 300
+    rs = np.arange(n, dtype="int64")
+    vals = [Decimal(10) ** 20 + Decimal(int(i)) for i in range(n)]
+    s.add_table("widep", pa.table({
+        "k": pa.array(ks), "r": pa.array(rs),
+        "d": pa.array(vals, type=pa.decimal128(38, 0))}))
+    for key in sh.STATS:
+        sh.STATS[key] = 0
+    rows = list(s.sql("select w.r, w.d from widep w, orders o "
+                      "where w.k = o.okey").to_arrow().to_pylist())
+    assert sh.STATS["joins"] >= 1, "sharded join path did not run"
+    got = sorted((int(r["r"]), Decimal(r["d"])) for r in rows)
+    assert got == [(int(i), vals[i]) for i in range(n)]
+    # distributed sort with a wide payload column
+    for key in sh.STATS:
+        sh.STATS[key] = 0
+    rows = list(s.sql("select d from widep order by r desc")
+                .to_arrow().to_pylist())
+    assert sh.STATS["sorts"] >= 1, "sample-sort path did not run"
+    assert [Decimal(r["d"]) for r in rows] == list(reversed(vals))
+
+
 def test_distributed_sort_single_key_desc(env):
     from lingodb_tpu.parallel import shuffle as sh
     from lingodb_tpu.tools import sqlite_oracle as so
