@@ -47,6 +47,34 @@ class TableEntry:
     # hash indexes: index name -> key columns (reference: IndexCatalogEntry,
     # LingoDBHashIndex; execution uses cached key->position lookup tables)
     indexes: dict = field(default_factory=dict)
+    # runtime cache of built/loaded index payloads (storage/hashindex.py)
+    index_payloads: dict = field(default_factory=dict)
+
+    def index_payload(self, iname: str, db_dir: str | None = None,
+                      persist: bool = False) -> dict:
+        """The index's probe payload: from the in-session cache, else the
+        persisted `<index>.idx` file, else built from the table data (and
+        written back when `persist`). Staleness is detected by row count —
+        tables are append-only (reference: LingoDBHashIndex::flush rewrites
+        the file on append, LingoDBHashIndex.cpp)."""
+        import os
+
+        from ..storage import hashindex as hx
+
+        p = self.index_payloads.get(iname)
+        if p is not None and p["rows"] == self.num_rows:
+            return p
+        path = os.path.join(db_dir, f"{iname}.idx") if db_dir else None
+        if path and os.path.exists(path):
+            p = hx.load(path)
+            if p is not None and p["rows"] == self.num_rows:
+                self.index_payloads[iname] = p
+                return p
+        p = hx.build(self, self.indexes[iname])
+        self.index_payloads[iname] = p
+        if path and persist and p.get("kind") in ("dense", "sorted"):
+            hx.save(path, p)
+        return p
 
     def index_on(self, cols: list[str]) -> str | None:
         """Name of an index whose key set equals `cols`, if any."""
@@ -158,6 +186,9 @@ class Catalog:
             if c not in entry.column_names and c.lower() not in entry.column_names:
                 raise ValueError(f"column '{c}' does not exist in '{table_name}'")
         entry.indexes[index_name] = list(columns)
+        if self.persist and entry.storage is not None:
+            os.makedirs(self.db_dir, exist_ok=True)
+            entry.index_payload(index_name, self.db_dir, persist=True)
         return entry
 
     def create_function(self, entry: FunctionEntry):
@@ -197,6 +228,9 @@ class Catalog:
             )
             if entry.storage:
                 entry.storage.save(self.db_dir)
+            for iname in entry.indexes:
+                # refresh stale index payload files (appends since last save)
+                entry.index_payload(iname, self.db_dir, persist=True)
         for fe in self.functions.values():
             if fe.language not in ("c", "python"):
                 continue  # builtins are not persisted

@@ -5,7 +5,9 @@ TPU-native equivalent of the reference's DB-dialect lowering
 (i1, T) pairs, decimal arith on i128, string/date ops via runtime calls).
 Here each expression lowers to jnp ops over SCol (data, validity) pairs:
   - NULLs: separate bool validity tensors, Kleene 3-valued logic for and/or
-  - decimals: scaled int64 (scale<=18) or float64 beyond
+  - decimals: scaled int64 while every value fits 63 bits; beyond that the
+    exact wide tier takes over (host Python-int limbs, ops/decwide.py — a
+    superset of the reference's i128 range)
   - strings: host-computed dictionary LUTs + one device gather (ops/strings.py)
 All functions are trace-compatible except string ops that build LUTs (those
 run on the host against the dictionary, never the data)."""

@@ -45,7 +45,13 @@ def optimize(plan: L.LogicalOp, catalog) -> L.LogicalOp:
 
     passes = [
         ("decorrelate-lateral", lambda p: decorrelate_lateral(p)),
+        # x IS NOT NULL conjuncts for strict-compared nullable columns: they
+        # push to scans and tighten selectivity estimates
+        ("infer-not-null", infer_not_null),
         ("pushdown", pushdown),
+        # left/single joins whose right side is referenced by nobody above
+        # and cannot change the left row count: drop them before join order
+        ("eliminate-trivial-join", lambda p: eliminate_trivial_join(p, catalog)),
         # implied a=c edges from a=b, b=c: extra Selects that the following
         # pushdown sinks into join predicates (new edges for join ordering)
         ("expand-transitive-equalities", expand_transitive_equalities),
@@ -225,6 +231,137 @@ def _is_simple(p: BExpr) -> bool:
         if isinstance(node, CaseExpr):
             return False
     return True
+
+
+# ----------------------------------------------------- infer-not-null
+_STRICT_CMP = {"eq", "neq", "lt", "lte", "gt", "gte"}
+
+
+def infer_not_null(plan: L.LogicalOp) -> L.LogicalOp:
+    """Add `x IS NOT NULL` conjuncts for nullable columns that appear directly
+    in strict (null-rejecting) comparisons inside Select predicates
+    (reference: Transforms/InferNotNullConditions.cpp — cmp/between/oneof
+    operands gain NOT NULL checks when AND-ed into the result). The extra
+    conjuncts then push to scans and sharpen sample-based selectivities."""
+    from ..plan.exprs import Call, ColRef
+    from ..sql.types import Type
+
+    def rec(op: L.LogicalOp) -> L.LogicalOp:
+        kids = op.children()
+        if kids:
+            op = op.replace_children([rec(c) for c in kids])
+        if not isinstance(op, L.Select):
+            return op
+        conj = E.conjuncts(op.predicate)
+        have = {repr(c) for c in conj}
+        extra: list[BExpr] = []
+
+        def note(a):
+            if isinstance(a, ColRef) and a.type.nullable:
+                nn = Call("isnotnull", [a], Type.bool_(False))
+                if repr(nn) not in have:
+                    have.add(repr(nn))
+                    extra.append(nn)
+
+        for c in conj:
+            if isinstance(c, Call) and c.op in _STRICT_CMP:
+                for a in c.args:
+                    note(a)
+            elif isinstance(c, Call) and c.op == "in":
+                # col IN (v1..vn): null-rejecting when no vi is NULL
+                from ..plan.exprs import Const
+
+                if all(isinstance(x, (Const, ColRef)) and (
+                        not isinstance(x, Const) or x.value is not None)
+                       and not x.type.nullable
+                       for x in c.args[1:]):
+                    note(c.args[0])
+        if extra:
+            return L.Select(op.child, E.make_and(conj + extra))
+        return op
+
+    return rec(plan)
+
+
+# ----------------------------------------------------- trivial-join removal
+def _child_reqs(op: L.LogicalOp, req: set[int]) -> list[set[int]]:
+    """Required-cid set per child given cids required of `op` (consumption
+    rules mirror prune.rec, opt/prune.py; conservative for Aggregate/Window:
+    all outputs assumed live — column-folding runs later)."""
+    if isinstance(op, L.Materialize):
+        return [set(op.cids)]
+    if isinstance(op, L.Select):
+        return [req | E.used_cols(op.predicate)]
+    if isinstance(op, L.Map):
+        creq = set(req) - {c.cid for c, _e in op.computed}
+        for c, e in op.computed:
+            if c.cid in req:
+                creq |= E.used_cols(e)
+        return [creq]
+    if isinstance(op, L.Join):
+        lcids = {c.cid for c in op.left.output_cols()}
+        rcids = {c.cid for c in op.right.output_cols()}
+        used = set(req)
+        if op.predicate is not None:
+            used |= E.used_cols(op.predicate)
+        if op.null_aware:
+            for part in op.null_aware:
+                if isinstance(part, E.BExpr):
+                    used |= E.used_cols(part)
+        return [used & lcids, used & rcids]
+    if isinstance(op, L.Aggregate):
+        creq = set(op.group_by)
+        creq |= {a.arg for a in op.aggs if a.arg is not None}
+        return [creq]
+    if isinstance(op, (L.Sort, L.TopK)):
+        return [req | {k.cid for k in op.keys}]
+    if isinstance(op, L.Limit):
+        return [req]
+    if isinstance(op, L.Distinct):
+        return [req | set(op.cids)]
+    if isinstance(op, L.SetOp):
+        return [set(op.lmap), set(op.rmap)]
+    if isinstance(op, L.Window):
+        creq = set(req) - {f.out.cid for f in op.funcs}
+        creq |= set(op.partition_by) | {k.cid for k in op.order_by}
+        creq |= {f.arg for f in op.funcs if f.arg is not None}
+        return [creq]
+    # Iterate / unknown: require every child output (never eliminates below)
+    return [{c.cid for c in ch.output_cols()} for ch in op.children()]
+
+
+def eliminate_trivial_join(plan: L.LogicalOp, catalog) -> L.LogicalOp:
+    """Drop left/single joins that nobody consumes: no right output column is
+    required above, and the join cannot change the left row count — single
+    joins by definition (exactly one output row per left row), left joins
+    when the right equi-key columns form a duplicate-free key of the right
+    side (reference: Transforms/EliminateTrivialJoin.cpp — OuterJoinOp with
+    empty mapping + isDuplicateFreeKey(right keys))."""
+    from .constraints import _eq_col_pairs, collect_fds
+
+    def rec(op: L.LogicalOp, req: set[int]) -> L.LogicalOp:
+        if (isinstance(op, L.Join) and op.kind in ("left", "single")
+                and op.null_aware is None):
+            rcids = {c.cid for c in op.right.output_cols()}
+            if not (req & rcids):
+                drop = op.kind == "single"
+                if not drop:
+                    rkeys = {b if b in rcids else a
+                             for a, b in _eq_col_pairs(op.predicate)
+                             if (a in rcids) != (b in rcids)}
+                    if rkeys:
+                        fds = collect_fds(op.right, catalog)
+                        drop = (fds.key is not None
+                                and fds.key <= fds.expand(set(rkeys)))
+                if drop:
+                    return rec(op.left, req)
+        kids = op.children()
+        if not kids:
+            return op
+        return op.replace_children(
+            [rec(c, r) for c, r in zip(kids, _child_reqs(op, req))])
+
+    return rec(plan, {c.cid for c in plan.output_cols()})
 
 
 # ------------------------------------------------- lateral decorrelation

@@ -1299,6 +1299,23 @@ class Executor:
                 or not jnp.issubdtype(bk.data.dtype, jnp.integer)):
             return None
         nl, nr = lvt.num_rows, rvt.num_rows
+        # persisted hash-index payload: when the build side is an unfiltered
+        # base-table scan with a declared index on this key, the direct LUT
+        # comes from the catalog (loaded from `<index>.idx` on reopen, never
+        # rebuilt — reference: LingoDBHashIndex.cpp file-backed index)
+        payload = self._persisted_dense_lut(op)
+        if payload is not None and payload["rows"] == nr:
+            from ..storage import hashindex as hx
+
+            bmin = payload["kmin"]
+            span = payload["span"]
+            n_valid = payload["n_valid"]
+            if n_valid == 0:
+                return None
+            lut = (hx.device_lut(payload) if be.is_jax(pk.data)
+                   else payload["lut"])
+            return self._finish_unique_key_join(
+                op, kind, lvt, rvt, pk, lut, bmin, span, nl)
         if nr > (1 << 25):
             return None  # LUT build cost outgrows the probe win
         bkd = bk.data.astype(jnp.int64)
@@ -1329,6 +1346,47 @@ class Executor:
             lut = lut[:span]
         if int(jnp.sum(lut >= 0)) != n_valid:
             return None  # duplicate build keys: not a unique-key join
+        return self._finish_unique_key_join(
+            op, kind, lvt, rvt, pk, lut, bmin, span, nl)
+
+    def _persisted_dense_lut(self, op) -> Optional[dict]:
+        """The dense LUT payload of a declared hash index covering this
+        join's single equi key, when the build side is a base-table scan.
+        Scan restrictions are allowed: filtering preserves order, so the
+        caller's `payload rows == build rows` check proves no row was dropped
+        and payload row ids equal build-side positions (inferred
+        `IS NOT NULL` restrictions on indexed keys are the common case)."""
+        r = op.right
+        if not isinstance(r, L.Scan):
+            return None
+        cat = self.session.catalog
+        entry = cat.get_table(r.table)
+        if entry is None or not entry.indexes:
+            return None
+        cj = E.conjuncts(op.predicate)
+        if len(cj) != 1:
+            return None
+        c = cj[0]
+        from ..plan.exprs import Call, ColRef as CR
+
+        if not (isinstance(c, Call) and c.op == "eq"):
+            return None
+        cid_to_name = {cc.cid: cc.name for cc in r.cols}
+        name = next((cid_to_name[a.cid] for a in c.args
+                     if isinstance(a, CR) and a.cid in cid_to_name), None)
+        if name is None:
+            return None
+        iname = entry.index_on([name])
+        if iname is None:
+            return None
+        p = entry.index_payload(iname, cat.db_dir, cat.persist)
+        return p if p.get("kind") == "dense" else None
+
+    def _finish_unique_key_join(self, op, kind, lvt, rvt, pk, lut, bmin,
+                                span, nl) -> VTable:
+        """Probe a unique-key direct LUT (built in-session or loaded from a
+        persisted index payload) and assemble the join result."""
+        nr = rvt.num_rows
         pkd = pk.data.astype(jnp.int64)
         p_sorted = nl >= pgather.MIN_N and bool(jnp.all(pkd[1:] >= pkd[:-1]))
         off = pkd - bmin

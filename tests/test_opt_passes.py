@@ -196,3 +196,77 @@ def test_pass_snapshots(session, tmp_path):
     texts = dict(optimizer.last_pass_snapshots)
     assert "Select" in texts["input"]
     assert "Select" not in texts["column-folding"]
+
+
+# ------------------------------------------------------------ infer-not-null
+def test_infer_not_null_adds_conjunct_for_strict_cmp(session):
+    from lingodb_tpu.plan import logical as L
+
+    _setup(session)
+    # u.x is nullable (no PK / NOT NULL): x > 1 is null-rejecting, so the
+    # pass adds `x IS NOT NULL` (reference: InferNotNullConditions.cpp)
+    plan = _run_passes(session, "select y from u where x > 1",
+                       ["infer-not-null"])
+    sel = next(n for n in L.walk_plan(plan) if isinstance(n, L.Select))
+    assert "isnotnull" in repr(sel.predicate)
+    # idempotent: IS NOT NULL already present -> no duplicate
+    plan2 = _run_passes(
+        session, "select y from u where x > 1 and x is not null",
+        ["infer-not-null"])
+    sel2 = next(n for n in L.walk_plan(plan2) if isinstance(n, L.Select))
+    assert repr(sel2.predicate).count("isnotnull") == 1
+
+
+def test_infer_not_null_skips_or_branches_and_non_null_cols(session):
+    from lingodb_tpu.plan import logical as L
+
+    _setup(session)
+    # inside an OR nothing may be inferred; t.a is PK (not nullable)
+    plan = _run_passes(session, "select b from t where a = 1 or b = 2",
+                       ["infer-not-null"])
+    sel = next(n for n in L.walk_plan(plan) if isinstance(n, L.Select))
+    assert "isnotnull" not in repr(sel.predicate)
+
+
+def test_infer_not_null_results_unchanged(session):
+    _setup(session)
+    session.sql_stmt("insert into u values (null, 99)")
+    rows = session.sql("select y from u where x > 1 order by y").format_rows()
+    assert rows == [["20"], ["30"]]
+
+
+# ----------------------------------------------------- eliminate-trivial-join
+def test_eliminate_trivial_left_join_on_unique_key(session):
+    from lingodb_tpu.plan import logical as L
+
+    _setup(session)
+    # t.a is the primary key: LEFT JOIN t never duplicates u rows, and no
+    # t column is consumed above -> the join disappears
+    plan = _run_passes(
+        session, "select u.y from u left join t on u.x = t.a",
+        ["eliminate-trivial-join"])
+    assert not any(isinstance(n, L.Join) for n in L.walk_plan(plan)), plan.pretty()
+    rows = session.sql(
+        "select u.y from u left join t on u.x = t.a order by y").format_rows()
+    assert [r[0] for r in rows] == ["10", "11", "20", "30"]
+
+
+def test_trivial_join_kept_when_right_key_not_unique(session):
+    from lingodb_tpu.plan import logical as L
+
+    _setup(session)
+    # u.x is NOT unique (two rows with x=1): dropping would change row count
+    plan = _run_passes(
+        session, "select t.b from t left join u on t.a = u.x",
+        ["eliminate-trivial-join"])
+    assert any(isinstance(n, L.Join) for n in L.walk_plan(plan))
+
+
+def test_trivial_join_kept_when_right_cols_used(session):
+    from lingodb_tpu.plan import logical as L
+
+    _setup(session)
+    plan = _run_passes(
+        session, "select u.y, t.b from u left join t on u.x = t.a",
+        ["eliminate-trivial-join"])
+    assert any(isinstance(n, L.Join) for n in L.walk_plan(plan))
