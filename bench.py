@@ -149,12 +149,25 @@ def run_config(name: str, floor_ms: float):
         }
 
     total_wall = sum(d["wall_ms"] for d in detail.values())
+    pipeline = {}
+    if len(queries) > 1:
+        # whole-suite pipelined wall: overlap ON runs each query's frontend +
+        # optimizer + H2D prefetch concurrently with the previous query's
+        # execution (session.sql_many; reference: Execution.cpp:294-325)
+        qs = [texts[q] for q in queries]
+        t0 = time.time()
+        s.sql_many(qs, overlap=False)
+        pipeline["suite_seq_ms"] = round((time.time() - t0) * 1e3, 1)
+        t0 = time.time()
+        s.sql_many(qs, overlap=True)
+        pipeline["suite_overlap_ms"] = round((time.time() - t0) * 1e3, 1)
     record = {
         "config": name, "sf": sf, "lineitem_rows": n_rows,
         "dispatch_floor_ms": round(floor_ms, 2), "hbm_gbps": hbm_gbps,
         "total_wall_ms": round(total_wall, 1),
         "warmup_s": round(warm_s, 1),
         "queries": detail,
+        **pipeline,
     }
     print(f"# config={name} sf={sf:g} lineitem={n_rows} "
           f"warmup={warm_s:.1f}s floor={floor_ms:.1f}ms "

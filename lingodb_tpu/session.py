@@ -29,6 +29,15 @@ from .utils import tracer
 from .utils.settings import get_setting
 
 
+class Prepared:
+    """A parsed + optimized query awaiting execution (prefetches started)."""
+
+    def __init__(self, query: str, stmts, plan):
+        self.query = query
+        self.stmts = stmts
+        self.plan = plan
+
+
 class Session:
     def __init__(self, db_dir: str | None = None):
         self.catalog = Catalog(db_dir)
@@ -50,6 +59,73 @@ class Session:
 
     def sql_stmt(self, query: str) -> None:
         self.sql(query)
+
+    # ------------------------------------------------- pipelined execution
+    def prepare(self, query: str) -> "Prepared":
+        """Parse, bind, and optimize without executing, and kick off the
+        async device upload of every scan column the plan touches. This is
+        the unit `sql_many` overlaps with the previous query's execution
+        (reference: compilation runs inside scheduler tasks so one query
+        compiles while another executes over warm contexts,
+        src/execution/Execution.cpp:294-325)."""
+        stmts = parse_sql(query)
+        plan = None
+        if stmts and isinstance(stmts[-1], A.SelectStmt):
+            plan = optimize(Binder(self.catalog).bind_query(stmts[-1]),
+                            self.catalog)
+            self._prefetch_plan(plan)
+        return Prepared(query, stmts, plan)
+
+    def execute_prepared(self, prepared: "Prepared"):
+        result = None
+        for i, stmt in enumerate(prepared.stmts):
+            if i == len(prepared.stmts) - 1 and prepared.plan is not None:
+                result = self.executor.execute(prepared.plan)
+            else:
+                result = self._execute_statement(stmt)
+        return result
+
+    def _prefetch_plan(self, plan) -> None:
+        """Start H2D transfers for the plan's scan columns (device_put is
+        asynchronous: transfers proceed while other work runs)."""
+        from .plan import logical as L
+
+        for op in L.walk_plan(plan):
+            if isinstance(op, L.Scan):
+                try:
+                    dev = self.device_table(op.table)
+                    dev["__num_rows__"]
+                    for c in op.cols:
+                        dev[c.name]
+                except Exception:
+                    pass  # prefetch is best-effort; execution re-raises
+
+    def sql_many(self, queries, overlap: bool | None = None) -> list:
+        """Execute a sequence of SQL strings, overlapping each query's
+        frontend/optimizer/H2D prefetch with the previous one's device
+        execution. overlap=None follows the system.overlap setting."""
+        import concurrent.futures as cf
+
+        if overlap is None:
+            overlap = bool(get_setting("system.overlap"))
+        queries = list(queries)
+        if not overlap or len(queries) <= 1:
+            return [self.sql(q) for q in queries]
+        out = []
+        with cf.ThreadPoolExecutor(max_workers=1) as pool:
+            nxt = pool.submit(self.prepare, queries[0])
+            for i in range(len(queries)):
+                pq = nxt.result()
+                nxt = None
+                # only pure SELECTs overlap the next prepare: a DDL/DML
+                # statement mutates the catalog the concurrent bind would read
+                pure = all(isinstance(st, A.SelectStmt) for st in pq.stmts)
+                if pure and i + 1 < len(queries):
+                    nxt = pool.submit(self.prepare, queries[i + 1])
+                out.append(self.execute_prepared(pq))
+                if nxt is None and i + 1 < len(queries):
+                    nxt = pool.submit(self.prepare, queries[i + 1])
+        return out
 
     def explain(self, query: str) -> str:
         stmts = parse_sql(query)

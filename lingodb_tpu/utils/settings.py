@@ -100,3 +100,7 @@ SHUFFLE_MIN_ROWS = Setting("system.shuffle_min_rows", 1 << 16, int)
 SHUFFLE_SKEW_FACTOR = Setting("system.shuffle_skew_factor", 4.0, float)
 # Pallas kernel substrate for gathers/compaction on the real chip ("on"/"off")
 PALLAS = Setting("system.pallas", "on")
+# pipelined multi-query execution: overlap the next query's frontend +
+# optimizer + H2D prefetch with the current query's device execution
+# (reference: compilation runs inside scheduler tasks, Execution.cpp:294-325)
+OVERLAP = Setting("system.overlap", True, bool)
