@@ -44,8 +44,9 @@ def main():
         prof = s.executor.last_op_profile or []
         prof.sort(key=lambda r: -r[1])
         print(f"# q{q} profiled run {time.time() - t0:.1f}s; top ops:")
-        for name, ms, rows, incl in prof[:12]:
-            print(f"#   {name:<12} self={ms:10.2f}ms incl={incl:10.2f}ms rows={rows}")
+        for name, ms, rows, incl, nbytes, sol in prof[:12]:
+            print(f"#   {name:<12} self={ms:10.2f}ms incl={incl:10.2f}ms "
+                  f"rows={rows} bytes={nbytes / 1e6:.0f}MB sol={sol}x")
         eager = [k for k in s.stage_cache
                  if isinstance(s.stage_cache.get(k), str)
                  and s.stage_cache.get(k) == "eager"]

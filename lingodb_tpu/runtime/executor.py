@@ -37,6 +37,26 @@ class ExecError(Exception):
     pass
 
 
+def _hbm_gbps() -> float:
+    """HBM bandwidth the PERF-mode SOL accounting assumes (v5e default)."""
+    import os
+
+    return float(os.environ.get("BENCH_HBM_GBPS", "819"))
+
+
+def _vtable_bytes(vt: VTable) -> int:
+    """Physical bytes of a vtable: rows x itemsize per column (+1B/row per
+    validity mask; wide-decimal object columns count as 16B limbs)."""
+    total = 0
+    for c in vt.cols.values():
+        d = c.data
+        itemsize = 16 if is_obj(d) else np.dtype(d.dtype).itemsize
+        total += vt.num_rows * itemsize
+        if c.valid is not None:
+            total += vt.num_rows
+    return total
+
+
 class _NotDense(Exception):
     """Raised during tracing when group keys have no small dense domain."""
 
@@ -57,6 +77,7 @@ class Executor:
         self._mode = "DEFAULT"
         self.last_op_profile: list | None = None
         self._prof_children: list = [0.0]
+        self._prof_child_bytes: list = [0]
         # one-shot results stashed by _try_fused_agg when it materializes a
         # spine base and then declines to fuse: the eager fallback consumes
         # them instead of re-executing the subtree (id(node) -> VTable)
@@ -77,14 +98,15 @@ class Executor:
         self._mode = str(EXECUTION_MODE.get()).upper()
         self.last_op_profile = [] if self._mode == "PERF" else None
         self._prof_children = [0.0]
+        self._prof_child_bytes = [0]
         with tracer.Trace("execution", "run_plan"):
             vt = self.run(plan.child)
         if self.last_op_profile is not None:
             import sys
 
-            for name, ms, rows, incl in self.last_op_profile:
+            for name, ms, rows, incl, nbytes, sol in self.last_op_profile:
                 print(f"# perf {name}: self={ms:.3f}ms incl={incl:.3f}ms "
-                      f"rows={rows}", file=sys.stderr)
+                      f"rows={rows} bytes={nbytes} sol={sol}", file=sys.stderr)
         # ONE packed device->host transfer for the whole result
         needed = VTable({cid: vt.col(cid) for cid in set(plan.cids)}, vt.num_rows)
         host = dv.fetch_vtable_np(needed) if vt.num_rows else {}
@@ -114,18 +136,29 @@ class Executor:
 
             t0 = _time.perf_counter()
             self._prof_children.append(0.0)
+            self._prof_child_bytes.append(0)
             vt = method(op)
             # wall time of dispatch; device completion lands on whichever
             # operator forces the next host sync (the executor's documented
             # one-sync-per-size-changing-op contract)
             dt = _time.perf_counter() - t0
             child = self._prof_children.pop()
+            in_bytes = self._prof_child_bytes.pop()
+            out_bytes = _vtable_bytes(vt)
             if self._prof_children:
                 self._prof_children[-1] += dt
-            # (name, self_ms, rows, inclusive_ms)
+                self._prof_child_bytes[-1] += out_bytes
+            # bytes this operator must move: children's outputs read + own
+            # output written — the memory-bandwidth lower bound's numerator;
+            # sol = self_ms / (bytes / HBM GB/s), 1.0 = speed of light
+            nbytes = in_bytes + out_bytes
+            self_ms = (dt - child) * 1e3
+            sol_ms = nbytes / (_hbm_gbps() * 1e9) * 1e3
+            sol = round(self_ms / sol_ms, 1) if sol_ms > 0 else None
+            # (name, self_ms, rows, inclusive_ms, bytes, sol_ratio)
             self.last_op_profile.append(
-                (type(op).__name__, (dt - child) * 1e3, vt.num_rows,
-                 dt * 1e3))
+                (type(op).__name__, self_ms, vt.num_rows, dt * 1e3,
+                 nbytes, sol))
         else:
             vt = method(op)
         if getattr(self, "_mode", "DEFAULT") == "DEBUG":

@@ -144,8 +144,9 @@ def profile(argv: list[str]) -> int:
     prof = session.executor.last_op_profile or []
     total = sum(rec[1] for rec in prof)
     print("== operator profile (self time) ==")
-    for name, ms, rows, incl in prof:
-        print(f"  {name:<14} {ms:9.3f}ms (incl {incl:9.3f})  rows={rows}")
+    for name, ms, rows, incl, nbytes, sol in prof:
+        print(f"  {name:<14} {ms:9.3f}ms (incl {incl:9.3f})  rows={rows}"
+              f"  bytes={nbytes / 1e6:.1f}MB  sol={sol}x")
     print(f"  {'TOTAL':<14} {total:9.3f}ms")
     if pe.supported:
         print("== host counters ==")

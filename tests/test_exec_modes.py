@@ -75,9 +75,12 @@ def test_perf_mode_profile(dbg_session):
     mode.set("PERF")
     s.sql("select g, sum(v) from t group by g order by g")
     prof = s.executor.last_op_profile
-    assert prof and all(len(rec) == 4 for rec in prof)  # name, self, rows, incl
+    # name, self_ms, rows, incl_ms, bytes, sol_ratio
+    assert prof and all(len(rec) == 6 for rec in prof)
     names = [rec[0] for rec in prof]
     assert any("Aggregate" in n or "Scan" in n for n in names)
+    assert all(rec[4] >= 0 for rec in prof)  # bytes accounted per operator
+    assert any(rec[4] > 0 for rec in prof)
 
 
 def test_perf_event_counters():

@@ -270,3 +270,55 @@ def test_trivial_join_kept_when_right_cols_used(session):
         session, "select u.y, t.b from u left join t on u.x = t.a",
         ["eliminate-trivial-join"])
     assert any(isinstance(n, L.Join) for n in L.walk_plan(plan))
+
+
+# ------------------------------------------- combine-predicates equivalence
+def test_selection_on_inner_join_merges_into_join_predicate(session):
+    """The reference's CombinePredicates pass (CombinePredicates.cpp:41-50)
+    inlines a Selection sitting on an inner join into the join's predicate
+    block. Our pushdown produces the same shape: cross-side conjuncts stay as
+    (become) the join predicate, so no Select survives above the join."""
+    from lingodb_tpu.plan import logical as L
+
+    _setup(session)
+    plan = _run_passes(
+        session,
+        "select s.a from (select * from t, u) s where s.a = s.x and s.b + s.y > 0",
+        ["pushdown"])
+    join = next(n for n in L.walk_plan(plan) if isinstance(n, L.Join))
+    r = repr(join.predicate)
+    assert "eq" in r and ("gt" in r or "lt" in r), r  # both conjuncts merged
+    assert join.kind == "inner"
+    # nothing above the join filters: the Select was fully absorbed
+    for n in L.walk_plan(plan):
+        if isinstance(n, L.Select):
+            for c in L.walk_plan(n.child):
+                assert not isinstance(c, L.Join)
+
+
+# ------------------------------------------ simplify-aggregations equivalence
+def test_duplicate_aggregates_computed_once(session):
+    """SimplifyAggregations dedups identical AggrFuncOps and lowers avg into
+    sum/count (SimplifyAggregations.cpp:99-196). Our binder does both at bind
+    time: sum(b) named twice + avg(b) produce exactly one sum and one count."""
+    from lingodb_tpu.plan import logical as L
+
+    _setup(session)
+    plan = _bind(session,
+                 "select sum(b), sum(b) + 1, avg(b), count(b) from t")
+    aggs = [a for n in L.walk_plan(plan) if isinstance(n, L.Aggregate)
+            for a in n.aggs]
+    fns = sorted(a.fn for a in aggs)
+    assert fns == ["count", "sum"], fns
+
+
+def test_avg_decomposed_matches_oracle(session):
+    _setup(session)
+    rows = session.sql(
+        "select cast(avg(b) as double), stddev_samp(b), var_samp(b) from t"
+    ).to_pylist()
+    a, sd, var = rows[0]
+    assert abs(float(a) - 8 / 3) < 1e-9
+    import math
+    assert abs(float(var) - 1 / 3) < 1e-9
+    assert abs(float(sd) - math.sqrt(1 / 3)) < 1e-9
