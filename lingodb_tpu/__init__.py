@@ -47,6 +47,11 @@ def _configure_jax():
             # 28s); below-threshold entries otherwise recompile every process
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
             jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+            # GPU-only autotune sidecar cache; its path (derived from
+            # cache_dir) leaks into every compile-options hash, making cache
+            # keys differ across cache locations — which breaks standalone
+            # query artifacts (tools/artifact.py) and cross-machine cache reuse
+            jax.config.update("jax_persistent_cache_enable_xla_caches", "")
         except Exception:
             pass
 

@@ -120,6 +120,42 @@ def run_plan(argv: list[str]) -> int:
     return 0
 
 
+def sql_to_artifact(argv: list[str]) -> int:
+    """AOT-compile one query into a self-contained artifact (reference:
+    tools/standalone-query/ builds a query into an executable)."""
+    if len(argv) < 2:
+        print("usage: sql-to-artifact <file.sql|query> <out.lqa> [db-dir]",
+              file=sys.stderr)
+        return 2
+    import os
+
+    from .artifact import build_artifact
+
+    q = open(argv[0]).read() if os.path.exists(argv[0]) else argv[0]
+    session = _open_session(argv[2] if len(argv) > 2 else None)
+    m = build_artifact(session, q, argv[1])
+    print(f"wrote {argv[1]}: {m['n_executables']} executables, "
+          f"platform={m['platform']}")
+    return 0
+
+
+def run_artifact_cmd(argv: list[str]) -> int:
+    if not argv:
+        print("usage: run-artifact <artifact.lqa> [db-dir]", file=sys.stderr)
+        return 2
+    from .artifact import run_artifact
+
+    session = _open_session(argv[1] if len(argv) > 1 else None)
+    t0 = time.time()
+    result = run_artifact(session, argv[0])
+    dt = time.time() - t0
+    if result is not None:
+        print(result.pretty(max_rows=10_000))
+    print(f"# cold run {dt * 1e3:.1f}ms (no parse/optimize; "
+          f"stages from artifact cache)", file=sys.stderr)
+    return 0
+
+
 def profile(argv: list[str]) -> int:
     """Per-pass plan snapshots + per-operator and per-phase timings + host HW
     counters for one query (the reference's ct / pass-profiler / PerfEvent
@@ -165,6 +201,8 @@ TOOLS = {
     "run-plan": run_plan,
     "sqlite-tester": sqlite_tester,
     "profile": profile,
+    "sql-to-artifact": sql_to_artifact,
+    "run-artifact": run_artifact_cmd,
 }
 
 
