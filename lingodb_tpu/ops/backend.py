@@ -262,9 +262,13 @@ def segmented_scan_minmax(vals, pb, is_min: bool):
 
 
 def lut_take(lut, codes):
-    """Gather a host-computed lookup table by (possibly traced) codes."""
+    """Gather a lookup table by (possibly traced) codes. Routes through the
+    Pallas-aware dispatcher: big-LUT gathers otherwise hit XLA's ~770x-SOL
+    1-D gather (bench_results/op_sol.log)."""
     if is_jax(codes):
         import jax.numpy as jnp_
 
-        return jnp_.asarray(lut)[codes]
+        from . import pgather
+
+        return pgather.take_fast(jnp_.asarray(lut), codes)
     return np.asarray(lut)[np.asarray(codes)]

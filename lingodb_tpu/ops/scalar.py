@@ -33,7 +33,7 @@ def _is_tracer(x) -> bool:
     return isinstance(x, jax.core.Tracer)
 from ..sql.types import IntervalUnit, K, Type
 from ..storage.column import EPOCH, decimal_str_to_int
-from . import dates, strings
+from . import bytestr, dates, strings
 
 US_PER_DAY = 86_400_000_000
 
@@ -694,7 +694,14 @@ def _eval_like(a: SCol, p: SCol, t: Type, ci: bool) -> SCol:
     if not _is_const_string(p):
         raise EvalError("LIKE with non-constant pattern not supported yet")
     pat = str(p.dictionary[0])
-    lut = strings.like_lut(a.dictionary, pat, ci)
+    lut = None
+    if be.is_jax(a.data) and len(a.dictionary) >= bytestr.DEVICE_DICT_MIN:
+        # high-cardinality dictionary with device-resident codes: evaluate
+        # the pattern over the dictionary's byte planes on the VPU instead
+        # of a host loop (reference: StringRuntime.cpp byte matchers)
+        lut = bytestr.device_like_mask(a.dictionary, pat, ci)
+    if lut is None:
+        lut = strings.like_lut(a.dictionary, pat, ci)
     return SCol(t, be.lut_take(lut, a.data), a.valid)
 
 

@@ -1655,6 +1655,8 @@ class Executor:
         # LingoDBTable.cpp:409-455). Skipped for FULL joins: replicated
         # build rows would emit their unmatched NULL-extended row per shard.
         skewf = float(get_setting("system.shuffle_skew_factor"))
+        valid_p = None
+        probe_split = False
         recv = sh.dest_counts(mesh, dest_p).sum(axis=0)
         if kind != "full" and recv.max() > skewf * max(float(recv.mean()), 1.0):
             step = max(1, nl // (1 << 16))
@@ -1663,6 +1665,7 @@ class Executor:
             heavy = vals_u[cnts_u / samp.size > 1.0 / (2 * n_ax)]
             if heavy.size:
                 sh.STATS["skew_splits"] += 1
+                probe_split = True
                 hj = jnx.asarray(heavy)
                 heavy_p = (hp[:, None] == hj[None, :]).any(axis=1)
                 l1 = (nl + ((-nl) % n_ax)) // n_ax
@@ -1681,7 +1684,45 @@ class Executor:
                         dest_b, jnx.repeat(jnx.arange(n_ax, dtype=jnx.int32), nh)])
                     valid_b = jnx.concatenate([
                         ~heavy_b, jnx.ones((nh * n_ax,), jnx.bool_)])
-        pv_ex, pouts, lp = sh.exchange(mesh, dest_p, [hp, pko] + parrs)
+        # build-side heavy hitters (inner only): one hot build key would land
+        # all its rows on a single shard. Mirror of the probe split with roles
+        # swapped — hot build rows stay spread by position, the probe rows of
+        # those keys replicate to every shard, so each (probe, build) pair
+        # still forms on exactly one shard. Kinds that emit one output per
+        # probe row (semi/anti/mark/left/single) can't replicate probe rows
+        # without duplicating outputs, and the probe split above already
+        # covers keys hot on both sides.
+        if kind == "inner" and not probe_split:
+            recv_b = sh.dest_counts(mesh, dest_b).sum(axis=0)
+            if recv_b.max() > skewf * max(float(recv_b.mean()), 1.0):
+                step = max(1, nr // (1 << 16))
+                samp = np.asarray(jax.device_get(hb[::step]))
+                vals_u, cnts_u = np.unique(samp, return_counts=True)
+                heavy = vals_u[cnts_u / samp.size > 1.0 / (2 * n_ax)]
+                heavy = heavy[heavy != np.uint64(0xFFFFFFFFFFFFFFFF)]
+                if heavy.size:
+                    sh.STATS["skew_splits"] += 1
+                    hj = jnx.asarray(heavy)
+                    heavy_b = (hb[:, None] == hj[None, :]).any(axis=1)
+                    l1 = (nr + ((-nr) % n_ax)) // n_ax
+                    stay_b = (jnx.arange(nr) // l1).astype(jnx.int32)
+                    dest_b = jnx.where(heavy_b, stay_b, dest_b)
+                    heavy_p = (hp[:, None] == hj[None, :]).any(axis=1)
+                    nph = int(jnx.sum(heavy_p))
+                    if nph:
+                        (pidx,) = jnx.nonzero(heavy_p, size=nph)
+                        rep = jnx.tile(pidx, n_ax)
+                        hp = jnx.concatenate([hp, jnx.take(hp, rep)])
+                        pko = jnx.concatenate([pko, jnx.take(pko, rep)])
+                        parrs = [jnx.concatenate(
+                            [jnx.asarray(a), jnx.take(jnx.asarray(a), rep, axis=0)])
+                            for a in parrs]
+                        dest_p = jnx.concatenate([
+                            dest_p,
+                            jnx.repeat(jnx.arange(n_ax, dtype=jnx.int32), nph)])
+                        valid_p = jnx.concatenate([
+                            ~heavy_p, jnx.ones((nph * n_ax,), jnx.bool_)])
+        pv_ex, pouts, lp = sh.exchange(mesh, dest_p, [hp, pko] + parrs, valid_p)
         bv_ex, bouts, lb = sh.exchange(mesh, dest_b, [hb] + barrs, valid_b)
         hp_ex, pko_ex = pouts[0], pouts[1]
         probe_ex = _rebuild_vt(lvt, playout, pouts[2:], n_ax * lp)

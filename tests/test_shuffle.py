@@ -215,8 +215,9 @@ def test_sharded_sum_distinct_mixed(env):
 
 
 def test_build_side_skew_correctness(env):
-    """7/8 of BUILD rows share one key: the sampled split only watches the
-    probe side, so this must stay correct through plain hash partitioning."""
+    """7/8 of BUILD rows share one key: the build-side heavy-hitter split
+    spreads the hot key's build rows by position and replicates the matching
+    probe rows, instead of landing 7/8 of the build on one shard."""
     import pyarrow as pa
 
     s, con = env
@@ -231,7 +232,7 @@ def test_build_side_skew_correctness(env):
                     [(int(a), int(b)) for a, b in zip(bk, bv)])
     _check(env, "select l.okey, count(*), sum(b.v) from lines l, bskew b "
                 "where l.okey = b.k group by l.okey",
-           {"joins": 1})
+           {"joins": 1, "skew_splits": 1})
 
 
 def test_wide_decimal_payload_ships_over_mesh(env):
