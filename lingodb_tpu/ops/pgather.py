@@ -634,11 +634,49 @@ def _take_i32(table, idx, monotone: bool):
     return jnp.take(table, idx, mode="clip")  # 1-D: axis irrelevant
 
 
+def _limbify(table):
+    """Split a 1-D table into int32 limb arrays + a rebuild function."""
+    dt = table.dtype
+    if dt == jnp.bool_ or dt.itemsize <= 2:
+        return ([table.astype(jnp.int32)],
+                lambda outs: outs[0].astype(dt))
+    if dt.itemsize == 4:
+        return ([jax.lax.bitcast_convert_type(table, jnp.int32)],
+                lambda outs: jax.lax.bitcast_convert_type(outs[0], dt))
+    limbs = jax.lax.bitcast_convert_type(table, jnp.int32)  # (S, 2)
+    return ([limbs[:, 0], limbs[:, 1]],
+            lambda outs: jax.lax.bitcast_convert_type(
+                jnp.stack([outs[0], outs[1]], axis=-1), dt))
+
+
+def _sort_route(table_limbs, idx32):
+    """Random big-table gather as sort + monotone windowed gather + unsort.
+
+    XLA's 1-D random gather costs ~8-26ns per index regardless of locality
+    (bench_results/op_sol.log: 770x SOL); lax.sort runs at ~5-6x SOL. Sorting
+    the indices (with their positions as payload), gathering monotonically
+    through the Pallas windowed kernel, and inverting by a second sort is the
+    TPU-native equivalent of the reference's cache-friendly tuple loop
+    (reference: LazyJoinHashtable.cpp probe loops)."""
+    n = int(idx32.shape[0])
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sidx, perm = jax.lax.sort([idx32, iota], num_keys=1)
+    gs = []
+    for t in table_limbs:
+        g, ovf = gather_sorted_i32(t, sidx)
+        gs.append(jax.lax.cond(
+            ovf == 0, lambda g=g: g,
+            lambda t=t: jnp.take(t, sidx, mode="clip")))
+    outs = jax.lax.sort([perm] + gs, num_keys=1)
+    return list(outs[1:])
+
+
 def take_fast(table, idx, *, monotone: bool = False):
     """table[idx] with OOB clipped — a drop-in for jnp.take(mode='clip')
     that routes through the Pallas kernels when they win:
       - tables <= 8K entries: chunked VMEM gather (any index order)
       - monotone idx over dense tables: windowed sorted gather
+      - random idx over dense big tables: sort + windowed gather + unsort
       - otherwise: XLA take
     Set monotone=True ONLY for nondecreasing idx (positions from
     compact_positions, sorted-FK probes); violations are caught by the
@@ -650,6 +688,11 @@ def take_fast(table, idx, *, monotone: bool = False):
     if (not use_pallas()) or n < MIN_N or table.ndim != 1:
         return jnp.take(table, idx, axis=0, mode="clip")
     idx32 = idx.astype(jnp.int32)
+    s = int(table.shape[0])
+    if (not monotone and s > CHUNK_TABLE_LIMIT
+            and s / max(n, 1) <= MAX_SORTED_GAP):
+        limbs, rebuild = _limbify(table)
+        return rebuild(_sort_route(limbs, idx32))
     dt = table.dtype
     if dt == jnp.bool_ or dt.itemsize <= 2:
         out = _take_i32(table.astype(jnp.int32), idx32, monotone)

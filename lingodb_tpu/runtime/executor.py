@@ -2087,61 +2087,121 @@ def _slice_prefix(arrays, g_pad: int):
 
 
 def _fused_general_group(op, key_cols, env, mask, n, meta):
-    """General (large-domain) grouping INSIDE the fused program: sort by key
-    images with filtered-out rows pushed to the end, segment-reduce via the
-    sorted strategies, emit n-sized padded outputs plus the group count.
-    The host slices the first `num_groups` entries with one tiny follow-up
-    program (see the mode=='general' post-processing) — two device round
-    trips total regardless of plan depth."""
+    """General (large-domain) grouping INSIDE the fused program: ONE
+    multi-operand sort carries the key images AND every payload column
+    (filtered-out rows pushed to the end), then each aggregate reduces with
+    cumsum / segmented scan + monotone boundary gathers. No random gathers
+    anywhere: the permutation is never materialized, group boundaries come
+    from the Pallas compaction kernel, and boundary gathers ride the
+    windowed sorted-gather kernel (XLA's random 1-D gather runs ~770x off
+    memory speed-of-light on this chip — bench_results/op_sol.log). Emits
+    n-sized padded outputs plus the group count; the host slices the first
+    `num_groups` entries with one tiny follow-up program."""
     import jax.numpy as jx
 
     in_mask = mask if mask is not None else jx.ones((n,), jx.bool_)
     imgs = [jx.broadcast_to(x, (n,)) for x in gb.keymod.grouping_images(key_cols)]
-    iota = jx.arange(n, dtype=jx.int64)
-    sortops = [(~in_mask).astype(jx.int32)] + imgs + [iota]
-    res = jax.lax.sort(sortops, num_keys=len(sortops) - 1)
+
+    # every array the reductions need rides the sort as a payload operand:
+    # one multi-operand lax.sort (~5-6x SOL) replaces a materialized
+    # permutation plus per-column random takes
+    payload: list = []
+    slot_of: dict[int, int] = {}
+
+    def ride(a):
+        name = id(a)
+        s_ = slot_of.get(name)
+        if s_ is None:
+            s_ = len(payload)
+            payload.append(a)
+            slot_of[name] = s_
+        return s_
+
+    key_slots = []
+    for c in key_cols:
+        key_slots.append((ride(c.data),
+                          None if c.valid is None else ride(c.valid)))
+    agg_args = []
+    for spec in op.aggs:
+        if spec.fn == "count_star":
+            agg_args.append(None)
+            continue
+        arg = sc._bcast(env[spec.arg], n)
+        dslot = ride(arg.data) if spec.fn != "count" else None
+        vslot = None if arg.valid is None else ride(arg.valid)
+        agg_args.append((arg, dslot, vslot))
+
+    sortops = [(~in_mask).astype(jx.int32)] + imgs + payload
+    nk = 1 + len(imgs)
+    res = jax.lax.sort(sortops, num_keys=nk)
     inm_s = res[0] == 0
-    simgs = res[1:-1]
-    perm = res[-1]
+    simgs = res[1:nk]
+    pay_s = res[nk:]
+
     boundary = jx.concatenate([jx.ones((1,), jx.bool_), jx.zeros((n - 1,), jx.bool_)])
     for s_ in simgs:
         boundary = boundary | jx.concatenate(
             [jx.ones((1,), jx.bool_), s_[1:] != s_[:-1]])
     boundary = boundary & inm_s
-    seg = (jx.cumsum(boundary.astype(jx.int32)) - 1).astype(jx.int32)
-    seg = jx.maximum(seg, 0)  # all-filtered prefix guard
     num_groups = jx.sum(boundary.astype(jx.int64))
-    rep_pos = jx.searchsorted(seg, jx.arange(n, dtype=seg.dtype), side="left")
-    rep_pos = jx.clip(rep_pos, 0, n - 1)
+    cnt32 = num_groups.astype(jx.int32)
+    # group-start positions, compacted (monotone; padding tail clipped by
+    # the takes below). Masked-out rows sit at the end with no boundary, so
+    # they extend the LAST group — every reduction masks them to zero or a
+    # sentinel, so the extents stay correct.
+    _, bpos = pgather.nonzero_positions(boundary, n)
+    ar = jx.arange(n, dtype=jx.int32)
+    nxt = jx.concatenate([bpos[1:], jx.full((1,), n, jx.int32)])
+    lpos = jx.where(ar < cnt32 - 1, nxt - 1, jx.int32(n - 1))
+
+    def at_bounds(arr, pos):
+        return pgather.take_fast(arr, pos, monotone=True)
+
+    def gsum(v):
+        """Per-group sum of a sorted, already-masked column via prefix sums
+        + boundary-difference (groups are contiguous and non-empty)."""
+        cs = jx.cumsum(v, axis=0)
+        hi = at_bounds(cs, lpos)
+        lo = at_bounds(cs, jx.maximum(bpos - 1, 0))
+        return hi - jx.where(bpos == 0, jx.zeros_like(lo), lo)
+
+    def gminmax(v, fn):
+        starts = boundary
+        op_ = jx.minimum if fn == "min" else jx.maximum
+
+        def combine(a, b):
+            af, av = a
+            bf, bv = b
+            return af | bf, jx.where(bf, bv, op_(av, bv))
+
+        _, scanned = jax.lax.associative_scan(combine, (starts, v))
+        return at_bounds(scanned, lpos)
 
     outs = [num_groups]
-    for c in key_cols:
-        data_s = jx.take(c.data, perm, axis=0)
-        outs.append(jx.take(data_s, rep_pos, axis=0))
-        if c.valid is not None:
-            valid_s = jx.take(c.valid, perm)
-            outs.append(jx.take(valid_s, rep_pos))
+    for dslot, vslot in key_slots:
+        outs.append(at_bounds(pay_s[dslot], bpos))
+        if vslot is not None:
+            outs.append(at_bounds(pay_s[vslot], bpos))
 
     ones = jx.where(inm_s, jx.ones((n,), jx.int64), jx.zeros((n,), jx.int64))
     meta["agg_dicts"] = {}
     meta["agg_limbs"] = set()
-    from ..ops import backend as bk
 
-    for spec in op.aggs:
-        arg = None if spec.arg is None else sc._bcast(env[spec.arg], n)
+    for spec, slots in zip(op.aggs, agg_args):
         if spec.fn == "count_star":
-            cnt = bk._sorted_segment_sum(ones, seg, n)
+            cnt = gsum(ones)
             outs.append(cnt)
             outs.append(cnt)
             continue
-        avalid_s = None if arg.valid is None else jx.take(arg.valid, perm)
+        arg, dslot, vslot = slots
+        avalid_s = None if vslot is None else pay_s[vslot]
         vm = ones if avalid_s is None else jx.where(avalid_s, ones, jx.zeros_like(ones))
-        cnt = bk._sorted_segment_sum(vm, seg, n)
+        cnt = gsum(vm)
         if spec.fn == "count":
             outs.append(cnt)
             outs.append(cnt)
             continue
-        data_s = jx.take(arg.data, perm, axis=0).astype(jnp_dtype(spec.out.type))
+        data_s = pay_s[dslot].astype(jnp_dtype(spec.out.type))
         if spec.fn == "sum":
             keep = vm > 0
             data_s = jx.where(keep, data_s, jx.zeros_like(data_s))
@@ -2149,19 +2209,17 @@ def _fused_general_group(op, key_cols, env, mask, n, meta):
                     and data_s.dtype == jx.int64):
                 # exact wide sum: 32-bit-split accumulators (see dense path)
                 meta["agg_limbs"].add(spec.out.cid)
-                outs.append(bk._sorted_segment_sum(
-                    data_s >> jx.int64(32), seg, n))
-                outs.append(bk._sorted_segment_sum(
-                    data_s & jx.int64(0xFFFFFFFF), seg, n))
+                outs.append(gsum(data_s >> jx.int64(32)))
+                outs.append(gsum(data_s & jx.int64(0xFFFFFFFF)))
                 outs.append(cnt)
                 continue
-            outs.append(bk._sorted_segment_sum(data_s, seg, n))
+            outs.append(gsum(data_s))
             outs.append(cnt)
             continue
         sentinel = gb._extreme(data_s.dtype, maximum=(spec.fn == "min"))
         keep = inm_s if avalid_s is None else (inm_s & avalid_s)
         data_s = jx.where(keep, data_s, sentinel)
-        outs.append(bk._sorted_segment_minmax(data_s, seg, n, spec.fn))
+        outs.append(gminmax(data_s, spec.fn))
         outs.append(cnt)
         meta["agg_dicts"][spec.out.cid] = arg.dictionary
     return tuple(outs)

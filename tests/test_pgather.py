@@ -105,3 +105,34 @@ def test_segscan_long_single_run():
     v = np.ones(n, np.int32)
     (o,) = pgather.segscan_i32(jnp.asarray(gid), [jnp.asarray(v)])
     np.testing.assert_array_equal(np.asarray(o), np.arange(1, n + 1))
+
+
+@pytest.mark.parametrize("dtype", [np.int64, np.float64, np.int32, np.bool_])
+def test_take_fast_sort_route(dtype, monkeypatch):
+    """Random indices over a big dense table ride sort + windowed gather +
+    unsort; outputs must equal numpy take for every limb layout."""
+    monkeypatch.setattr(pgather, "FORCE_PALLAS", True)
+    monkeypatch.setattr(pgather, "MIN_N", 1 << 10)
+    s, n = 300_000, 70_000  # gap ~4 << MAX_SORTED_GAP, table > chunk limit
+    if dtype == np.bool_:
+        table = RNG.integers(0, 2, s).astype(np.bool_)
+    elif dtype == np.float64:
+        table = RNG.normal(size=s)
+    else:
+        table = RNG.integers(-(1 << 40), 1 << 40, s).astype(dtype)
+        if dtype == np.int32:
+            table = RNG.integers(-(1 << 30), 1 << 30, s, np.int32)
+    idx = RNG.integers(0, s, n).astype(np.int32)
+    out = pgather.take_fast(jnp.asarray(table), jnp.asarray(idx))
+    np.testing.assert_array_equal(np.asarray(out), table[idx])
+
+
+def test_take_fast_sort_route_sparse_falls_back(monkeypatch):
+    """Average gap beyond MAX_SORTED_GAP keeps the plain XLA take."""
+    monkeypatch.setattr(pgather, "FORCE_PALLAS", True)
+    monkeypatch.setattr(pgather, "MIN_N", 1 << 10)
+    s, n = 2_000_000, 2_000  # gap 1000: windowed walk would thrash
+    table = RNG.integers(-(1 << 30), 1 << 30, s, np.int32)
+    idx = RNG.integers(0, s, n).astype(np.int32)
+    out = pgather.take_fast(jnp.asarray(table), jnp.asarray(idx))
+    np.testing.assert_array_equal(np.asarray(out), table[idx])
