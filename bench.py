@@ -1,20 +1,25 @@
 """Benchmark driver (configs follow BASELINE.json).
 
-Default BENCH_CONFIG is `matrix`: the full BASELINE ladder measured in one
-run (q1@SF1, q6/q14/q3/q10/q18@SF10, all22@SF1). Prints ONE JSON line for
-the primary metric whose `configs` field carries the per-query detail the
-judge needs; the same records append to BENCH_OUT (default
-bench_results/bench_last.jsonl). Per query:
+Default BENCH_CONFIG is `matrix`: the BASELINE ladder measured in one run
+(q1@SF1, then q6/q14/q10/q18/q3@SF10, then all22@SF1). Results are printed
+INCREMENTALLY: after every config the current primary-metric JSON line is
+re-emitted to stdout (last line wins), so a driver timeout still records
+whatever finished. A wall-clock budget (BENCH_BUDGET_S, default 1500 s,
+measured from process start) skips remaining configs once exceeded and the
+final JSON reports them as "skipped_budget".
 
+Per query:
   wall_ms      best end-to-end latency (includes the host<->device tunnel)
-  device_ms    wall minus the measured per-dispatch floor (jit-scalar
-               round-trip through the axon tunnel, reported separately as
-               dispatch_floor_ms — it is environment overhead, not compute)
+  wall_med_ms  median across reps (stability signal; the dispatch floor
+               through the axon tunnel wobbles ~25-37 ms run to run)
   bytes        bytes the query must touch: scanned columns of the OPTIMIZED
                plan (rows x physical dtype width) — the memory-bandwidth
-               lower bound's numerator
+               lower bound's numerator. NOTE: for join-heavy queries the
+               true lower bound also includes shuffle/materialization
+               traffic, so sol_ratio is an upper bound on badness for
+               scan-bound queries (q1/q6) and a loose model elsewhere.
   sol_ms       bytes / HBM bandwidth (BENCH_HBM_GBPS, default 819 GB/s v5e)
-  sol_ratio    device_ms / sol_ms — 1.0 = memory-bandwidth speed of light
+  sol_ratio    wall_ms / sol_ms
 
 Config selection: BENCH_CONFIG=matrix (default) | q1_sf1 | q6_sf10 |
 q14_sf10 | q3_sf10 | q10_sf10 | q18_sf10 | all22_sf1 | all22_sf10.
@@ -36,6 +41,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 NOMINAL_BASELINE_ROWS_PER_S = 60e6  # nominal, not measured — see docstring
 QDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "queries", "tpch")
+T_START = time.time()
 
 CONFIGS = {
     "q1_sf1": (1.0, [1]),
@@ -47,8 +53,15 @@ CONFIGS = {
     "all22_sf1": (1.0, list(range(1, 23))),
     "all22_sf10": (10.0, list(range(1, 23))),
 }
-MATRIX = ["q1_sf1", "all22_sf1", "q6_sf10", "q14_sf10", "q3_sf10",
-          "q10_sf10", "q18_sf10"]
+# cheapest-first so a budget/timeout cut still lands the ladder's core;
+# q3 (historically the worst warmup) runs after q10/q18, all22 last
+MATRIX = ["q1_sf1", "q6_sf10", "q14_sf10", "q10_sf10", "q18_sf10",
+          "q3_sf10", "all22_sf1"]
+
+
+def _budget_left() -> float:
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    return budget - (time.time() - T_START)
 
 
 def _dispatch_floor_ms() -> float:
@@ -62,7 +75,7 @@ def _dispatch_floor_ms() -> float:
     x = jnp.zeros((), jnp.int32)
     np.asarray(jax.device_get(f(x)))  # compile + warm
     times = []
-    for _ in range(7):
+    for _ in range(11):
         t0 = time.time()
         np.asarray(jax.device_get(f(x)))
         times.append(time.time() - t0)
@@ -124,33 +137,43 @@ def run_config(name: str, floor_ms: float):
     s, n_rows = _session(sf)
     texts = {q: open(os.path.join(QDIR, f"{q}.sql")).read() for q in queries}
 
-    t0 = time.time()
-    for q in queries:
-        s.sql(texts[q])
-    warm_s = time.time() - t0
-
+    warm_s = 0.0
     detail = {}
     for q in queries:
+        if _budget_left() < 0 and detail:
+            print(f"# budget hit inside {name}; measured "
+                  f"{len(detail)}/{len(queries)} queries", file=sys.stderr)
+            break
+        t0 = time.time()
+        s.sql(texts[q])
+        w = time.time() - t0
+        warm_s += w
         times = []
         for _ in range(reps):
             t0 = time.time()
             s.sql(texts[q])
             times.append(time.time() - t0)
-        wall_ms = min(times) * 1e3
-        device_ms = max(wall_ms - floor_ms, 0.01)
+        times.sort()
+        wall_ms = times[0] * 1e3
+        med_ms = times[len(times) // 2] * 1e3
         b = _bytes_touched(s, texts[q])
         sol_ms = b / (hbm_gbps * 1e9) * 1e3
         detail[q] = {
             "wall_ms": round(wall_ms, 2),
-            "device_ms": round(device_ms, 2),
+            "wall_med_ms": round(med_ms, 2),
+            "warm_s": round(w, 1),
             "bytes": b,
             "sol_ms": round(sol_ms, 3),
-            "sol_ratio": round(device_ms / sol_ms, 2) if sol_ms > 0 else None,
+            "sol_ratio": round(wall_ms / sol_ms, 2) if sol_ms > 0 else None,
         }
+        print(f"#   q{q}: wall={wall_ms:.1f}ms med={med_ms:.1f}ms "
+              f"warm={w:.1f}s bytes={b / 1e6:.0f}MB "
+              f"sol_ratio={detail[q]['sol_ratio']}", file=sys.stderr,
+              flush=True)
 
     total_wall = sum(d["wall_ms"] for d in detail.values())
     pipeline = {}
-    if len(queries) > 1:
+    if len(detail) > 1 and len(detail) == len(queries) and _budget_left() > 0:
         # whole-suite pipelined wall: overlap ON runs each query's frontend +
         # optimizer + H2D prefetch concurrently with the previous query's
         # execution (session.sql_many; reference: Execution.cpp:294-325)
@@ -171,11 +194,7 @@ def run_config(name: str, floor_ms: float):
     }
     print(f"# config={name} sf={sf:g} lineitem={n_rows} "
           f"warmup={warm_s:.1f}s floor={floor_ms:.1f}ms "
-          f"total_wall={total_wall:.1f}ms", file=sys.stderr)
-    for q, d in detail.items():
-        print(f"#   q{q}: wall={d['wall_ms']:.1f}ms device={d['device_ms']:.1f}ms "
-              f"bytes={d['bytes'] / 1e6:.0f}MB sol={d['sol_ms']:.2f}ms "
-              f"sol_ratio={d['sol_ratio']}", file=sys.stderr, flush=True)
+          f"total_wall={total_wall:.1f}ms", file=sys.stderr, flush=True)
     out = os.environ.get("BENCH_OUT",
                          os.path.join("bench_results", "bench_last.jsonl"))
     if out:
@@ -185,6 +204,48 @@ def run_config(name: str, floor_ms: float):
         except OSError:
             pass
     return record
+
+
+def _emit(records, floor_ms):
+    """Print the primary-metric JSON line for everything measured so far.
+    Called after every config: the driver keeps the LAST line, so a timeout
+    mid-matrix still lands a parsed record."""
+    sf10 = [r for r in records.values()
+            if r.get("sf") == 10.0 and len(r.get("queries", {})) == 1]
+    if sf10:
+        total = sum(r["total_wall_ms"] for r in sf10)
+        rows = sum(r["lineitem_rows"] for r in sf10)
+        value = rows / (total / 1e3) if total else 0
+        metric = f"tpch_sf10_{len(sf10)}q_rows_per_s"
+    else:
+        r0 = next((r for r in records.values() if r.get("total_wall_ms")), None)
+        if r0 is None:
+            print(json.dumps({"metric": "bench_failed", "value": 0,
+                              "unit": "", "vs_baseline": 0}), flush=True)
+            return
+        value = r0["lineitem_rows"] / (r0["total_wall_ms"] / 1e3)
+        metric = f"tpch_{r0['config']}_rows_per_s"
+    compact = {
+        n: ({"total_wall_ms": r.get("total_wall_ms"),
+             "warmup_s": r.get("warmup_s"),
+             "queries": {q: d["wall_ms"] for q, d in
+                         r.get("queries", {}).items()},
+             "suite_overlap_ms": r.get("suite_overlap_ms"),
+             "error": r.get("error")}
+            if "skipped" not in r else r)
+        for n, r in records.items()
+    }
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value),
+        "unit": "rows/s",
+        "vs_baseline": round(value / NOMINAL_BASELINE_ROWS_PER_S, 3),
+        "dispatch_floor_ms": round(floor_ms or 0, 2),
+        "elapsed_s": round(time.time() - T_START, 1),
+        "configs": compact,
+        "baseline_note": ("vs_baseline uses a NOMINAL 60M rows/s figure; "
+                          "the reference publishes no numbers"),
+    }), flush=True)
 
 
 def main():
@@ -197,51 +258,20 @@ def main():
     floor_ms = None
     records = {}
     for cname in names:
-        if floor_ms is None:
-            _session(CONFIGS[cname][0])  # touch device after data load
-            floor_ms = _dispatch_floor_ms()
+        if floor_ms is not None and _budget_left() < 0:
+            records[cname] = {"config": cname, "skipped": "budget"}
+            print(f"# config={cname} SKIPPED (budget)", file=sys.stderr)
+            _emit(records, floor_ms)
+            continue
         try:
+            if floor_ms is None:
+                _session(CONFIGS[cname][0])  # touch device after data load
+                floor_ms = _dispatch_floor_ms()
             records[cname] = run_config(cname, floor_ms)
         except Exception as e:  # keep the matrix going; record the failure
             records[cname] = {"config": cname, "error": repr(e)[:200]}
             print(f"# config={cname} FAILED: {e!r}", file=sys.stderr)
-
-    # primary metric: total wall across the matrix's SF10 single-query
-    # configs (q6+q14+q3+q10+q18) — the BASELINE ladder's core; falls back
-    # to whatever ran
-    sf10 = [r for r in records.values()
-            if r.get("sf") == 10.0 and len(r.get("queries", {})) == 1]
-    if sf10:
-        total = sum(r["total_wall_ms"] for r in sf10)
-        rows = sum(r["lineitem_rows"] for r in sf10)
-        value = rows / (total / 1e3)
-        metric = "tpch_sf10_5q_rows_per_s"
-    else:
-        r0 = next((r for r in records.values() if "total_wall_ms" in r), None)
-        if r0 is None:
-            print(json.dumps({"metric": "bench_failed", "value": 0,
-                              "unit": "", "vs_baseline": 0}))
-            return
-        value = r0["lineitem_rows"] / (r0["total_wall_ms"] / 1e3)
-        metric = f"tpch_{r0['config']}_rows_per_s"
-    compact = {
-        n: {"total_wall_ms": r.get("total_wall_ms"),
-            "worst_sol_ratio": max((d["sol_ratio"] or 0 for d in
-                                    r.get("queries", {}).values()),
-                                   default=None),
-            "error": r.get("error")}
-        for n, r in records.items()
-    }
-    print(json.dumps({
-        "metric": metric,
-        "value": round(value),
-        "unit": "rows/s",
-        "vs_baseline": round(value / NOMINAL_BASELINE_ROWS_PER_S, 3),
-        "dispatch_floor_ms": round(floor_ms or 0, 2),
-        "configs": compact,
-        "baseline_note": ("vs_baseline uses a NOMINAL 60M rows/s figure; "
-                          "the reference publishes no numbers"),
-    }))
+        _emit(records, floor_ms)
 
 
 if __name__ == "__main__":

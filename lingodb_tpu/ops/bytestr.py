@@ -31,10 +31,10 @@ _PLANE_CACHE: dict[int, tuple] = {}
 
 
 def _planes(dictionary: np.ndarray):
-    """(bytes2d (D, Lpad) uint8 device, lens (D,) int32 device, ascii_only).
-    Built once per dictionary object; NUL bytes inside strings are
-    unsupported (S-dtype trims them) — callers guard via ascii_only=False
-    when embedded NULs could matter (they set byte 0 == padding)."""
+    """(bytes2d (D, Lpad) uint8 device, lens (D,) int32 device, ascii_only,
+    exact). Built once per dictionary object; exact=False flags embedded
+    NUL bytes (S-dtype trims them — the planes are then truncated and
+    device matching must fall back to the host path)."""
     key = id(dictionary)
     hit = _PLANE_CACHE.get(key)
     if hit is not None and hit[0] is dictionary:
@@ -49,9 +49,21 @@ def _planes(dictionary: np.ndarray):
     view = enc.astype(f"S{lpad}").view(np.uint8).reshape(len(enc), lpad)
     buf[:] = view
     ascii_only = bool(buf.max(initial=0) < 128)
-    out = (jnp.asarray(buf), jnp.asarray(lens), ascii_only)
-    if len(_PLANE_CACHE) > 8:
-        _PLANE_CACHE.clear()
+    # embedded NUL detection: S-dtype trims trailing \x00 and
+    # np.char.str_len stops at the first NUL, so 'a\x00' would silently
+    # match as 'a' on the device while the host LUT path sees the real
+    # string. True byte lengths come from the encoded object strings; any
+    # mismatch marks the planes inexact and device_like_mask falls back.
+    exact = True
+    if lens.size:
+        true_lens = np.fromiter((len(s) for s in enc), np.int32, len(enc))
+        exact = bool(np.array_equal(true_lens, lens))
+    out = (jnp.asarray(buf), jnp.asarray(lens), ascii_only, exact)
+    if len(_PLANE_CACHE) >= 8:
+        # evict the single oldest entry (insertion-ordered dict): each entry
+        # pins a (D, Lpad) uint8 device plane — clearing everything would
+        # rebuild every plane when a workload cycles through >8 dictionaries
+        _PLANE_CACHE.pop(next(iter(_PLANE_CACHE)))
     _PLANE_CACHE[key] = (dictionary, out)
     return out
 
@@ -104,7 +116,9 @@ def device_like_mask(dictionary: np.ndarray, pattern: str,
         pattern.encode("ascii")
     except UnicodeEncodeError:
         return None
-    b2d, lens, ascii_only = _planes(dictionary)
+    b2d, lens, ascii_only, exact = _planes(dictionary)
+    if not exact:
+        return None  # embedded NULs: plane bytes/lengths are truncated
     segments, a_start, a_end = _tokenize(pattern)
     has_underscore = any(w for seg in segments for _, w in seg)
     if not ascii_only and (has_underscore or case_insensitive):
@@ -167,8 +181,8 @@ def device_like_mask(dictionary: np.ndarray, pattern: str,
 
 def device_length(dictionary: np.ndarray):
     """Per-entry CHARACTER length on device (byte length when ascii)."""
-    b2d, lens, ascii_only = _planes(dictionary)
-    if ascii_only:
+    b2d, lens, ascii_only, exact = _planes(dictionary)
+    if ascii_only and exact:
         return lens
     import jax.numpy as jnp
 

@@ -156,43 +156,51 @@ CHUNK_TABLE_LIMIT = 8192  # entries; cost is ~3 vreg-ops per 128-entry chunk
 
 
 @functools.partial(jax.jit, static_argnames=("s_pad", "t_rows", "interpret"))
-def _gather_chunked_i32(table2d, idx2d, s_pad: int, t_rows: int,
-                        interpret: bool):
+def _gather_chunked_i32(idx2d, s_pad: int, t_rows: int, interpret: bool,
+                        *tables2d):
+    """C-plane chunked gather: ONE kernel gathers every plane with the same
+    indices (the index decode is computed once and amortized; one Mosaic
+    compile covers a whole column group instead of one ~10 s remote compile
+    per column — the axon tunnel compiles cost that much)."""
     pl = _pl()
     chunks = s_pad // 128
     nt = idx2d.shape[0] // t_rows
+    C = len(tables2d)
 
-    def kernel(idx_ref, tab_ref, out_ref):
+    def kernel(idx_ref, *refs):
+        tab_refs, out_refs = refs[:C], refs[C:]
         idx = idx_ref[:]
         lane = idx & 127
         hi = idx >> 7
-        acc = jnp.zeros((t_rows, 128), jnp.int32)
+        accs = [jnp.zeros((t_rows, 128), jnp.int32) for _ in range(C)]
         for c in range(chunks):
-            row = jnp.broadcast_to(tab_ref[c:c + 1, :], (t_rows, 128))
-            g = _lane_gather(row, lane)
-            acc = jnp.where(hi == c, g, acc)
-        out_ref[:] = acc
+            sel = hi == c
+            for p in range(C):
+                row = jnp.broadcast_to(tab_refs[p][c:c + 1, :], (t_rows, 128))
+                accs[p] = jnp.where(sel, _lane_gather(row, lane), accs[p])
+        for p in range(C):
+            out_refs[p][:] = accs[p]
 
     with _x32():
         return pl.pallas_call(
             kernel,
             grid=(nt,),
-            in_specs=[pl.BlockSpec((t_rows, 128), lambda i: (i, 0)),
-                      pl.BlockSpec((chunks, 128), lambda i: (0, 0))],
-            out_specs=pl.BlockSpec((t_rows, 128), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((nt * t_rows, 128), jnp.int32),
+            in_specs=[pl.BlockSpec((t_rows, 128), lambda i: (i, 0))]
+            + [pl.BlockSpec((chunks, 128), lambda i: (0, 0))] * C,
+            out_specs=[pl.BlockSpec((t_rows, 128), lambda i: (i, 0))] * C,
+            out_shape=[jax.ShapeDtypeStruct((nt * t_rows, 128), jnp.int32)] * C,
             interpret=interpret,
-        )(idx2d, table2d)
+        )(idx2d, *tables2d)
 
 
-def gather_chunked_i32(table, idx):
-    """table[clip(idx)] for int32 1-D table with <= CHUNK_TABLE_LIMIT
-    entries; idx any shape int32. Out-of-range indices are clamped."""
-    s = table.shape[0]
+def gather_chunked_planes(tables, idx):
+    """[t[clip(idx)] for t in tables] for int32 1-D equal-length tables with
+    <= CHUNK_TABLE_LIMIT entries; idx any shape int32. One kernel call."""
+    s = tables[0].shape[0]
     s_pad = max(-(-s // 128) * 128, 128)
     if s_pad != s:
-        table = jnp.concatenate(
-            [table, jnp.zeros((s_pad - s,), table.dtype)])
+        z = jnp.zeros((s_pad - s,), jnp.int32)
+        tables = [jnp.concatenate([t, z]) for t in tables]
     idx_flat = idx.reshape(-1)
     idx_flat = jnp.clip(idx_flat, 0, s - 1)
     n = idx_flat.shape[0]
@@ -202,10 +210,15 @@ def gather_chunked_i32(table, idx):
     if n_pad != n:
         idx_flat = jnp.concatenate(
             [idx_flat, jnp.zeros((n_pad - n,), idx_flat.dtype)])
-    out = _gather_chunked_i32(table.reshape(-1, 128),
-                              idx_flat.reshape(-1, 128),
-                              s_pad, t_rows, INTERPRET)
-    return out.reshape(-1)[:n].reshape(idx.shape)
+    outs = _gather_chunked_i32(idx_flat.reshape(-1, 128), s_pad, t_rows,
+                               INTERPRET, *[t.reshape(-1, 128) for t in tables])
+    return [o.reshape(-1)[:n].reshape(idx.shape) for o in outs]
+
+
+def gather_chunked_i32(table, idx):
+    """table[clip(idx)] for int32 1-D table with <= CHUNK_TABLE_LIMIT
+    entries; idx any shape int32. Out-of-range indices are clamped."""
+    return gather_chunked_planes([table], idx)[0]
 
 
 # --------------------------------------------------------------------------
@@ -352,30 +365,49 @@ _GS_WROWS = 2048           # window rows (262144 table entries per window)
 
 @functools.partial(
     jax.jit, static_argnames=("wrows", "t_rows", "d_chunks", "interpret"))
-def _gather_sorted_i32(table2d, idx2d, wstarts, vbase, vlast, wrows: int,
-                       t_rows: int, d_chunks: int, interpret: bool):
+def _gather_sorted_i32(idx2d, wstarts, vbase, vlast, wrows: int,
+                       t_rows: int, d_chunks: int, interpret: bool,
+                       *tables2d):
+    """C-plane windowed sorted gather: the chunk walk (index decode, window
+    arithmetic, trip counts) runs ONCE per vreg and gathers every plane in
+    the same trip — one Mosaic compile and one HBM window stream per column
+    group instead of per column."""
     pl = _pl()
+    C = len(tables2d)
     nt = idx2d.shape[0] // t_rows
     n_vreg = t_rows // 8
-    tab_rows = table2d.shape[0]
+    tab_rows = tables2d[0].shape[0]
     wblocks = max(tab_rows // wrows, 1)
 
-    def kernel(wstart_ref, idx_ref, vb_ref, vl_ref, win0_ref, win1_ref,
-               out_ref, ovf_ref):
+    # the vreg dimension rides the GRID in blocks of VUN vregs (not one big
+    # unrolled Python loop): the kernel body covers VUN vregs' walks,
+    # ~n_vreg/VUN x smaller to Mosaic-compile (remote kernel compiles cost
+    # ~10 s each on this rig and scale with body size), while consecutive
+    # v-steps reuse the same HBM window block for free
+    VUN = min(4, n_vreg)
+    nv = n_vreg // VUN
+
+    def kernel(wstart_ref, idx_ref, vb_ref, vl_ref, *refs):
+        win0s = refs[:C]
+        win1s = refs[C:2 * C]
+        out_refs = refs[2 * C:2 * C + C]
+        ovf_ref = refs[2 * C + C]
         t = pl.program_id(0)
+        v = pl.program_id(1)
         w0 = wstart_ref[t]  # window block index (units of wrows rows)
-        idx = idx_ref[:]
-        vaccs = []
-        ovf = jnp.zeros((), jnp.int32)
         win_chunks = wrows // 8
-        for vi in range(n_vreg):
-            vidx = idx[vi * 8:(vi + 1) * 8, :]
+        idx = idx_ref[:]
+        ovf = jnp.zeros((), jnp.int32)
+        vaccs = [[] for _ in range(C)]
+        for k in range(VUN):
+            vidx = idx[k * 8:(k + 1) * 8, :]
             lane = vidx & 127
             hi = vidx >> 7
-            base = vb_ref[t * n_vreg + vi]  # global chunk (8-row units)
+            base = vb_ref[t * n_vreg + v * VUN + k]  # global chunk (8 rows)
             # early exit: the vreg's indices are sorted, so its true span
             # ends at its last element's chunk — walk only that many
-            trips = jnp.clip(vl_ref[t * n_vreg + vi] - base + 1, 1, d_chunks)
+            trips = jnp.clip(vl_ref[t * n_vreg + v * VUN + k] - base + 1,
+                             1, d_chunks)
 
             def chunk_step(d_, vacc, base=base, lane=lane, hi=hi):
                 g = base + d_
@@ -383,16 +415,20 @@ def _gather_sorted_i32(table2d, idx2d, wstarts, vbase, vlast, wrows: int,
                 in0 = (loc0 >= 0) & (loc0 < win_chunks)
                 loc0c = jnp.clip(loc0, 0, win_chunks - 1)
                 loc1c = jnp.clip(loc0 - win_chunks, 0, win_chunks - 1)
-                c0 = win0_ref[pl.ds(loc0c * 8, 8), :]
-                c1 = win1_ref[pl.ds(loc1c * 8, 8), :]
-                chunk = jnp.where(in0, c0, c1)
-                for s in range(8):
-                    row = jnp.broadcast_to(chunk[s:s + 1, :], (8, 128))
-                    gg = _lane_gather(row, lane)
-                    vacc = jnp.where(hi == g * 8 + s, gg, vacc)
-                return vacc
+                out = []
+                for p in range(C):
+                    c0 = win0s[p][pl.ds(loc0c * 8, 8), :]
+                    c1 = win1s[p][pl.ds(loc1c * 8, 8), :]
+                    chunk = jnp.where(in0, c0, c1)
+                    va = vacc[p]
+                    for s in range(8):
+                        row = jnp.broadcast_to(chunk[s:s + 1, :], (8, 128))
+                        gg = _lane_gather(row, lane)
+                        va = jnp.where(hi == g * 8 + s, gg, va)
+                    out.append(va)
+                return tuple(out)
 
-            vacc = jnp.zeros((8, 128), jnp.int32)
+            vacc = tuple(jnp.zeros((8, 128), jnp.int32) for _ in range(C))
             if d_chunks <= 4:  # unroll the shortest walks; loop the rest
                 for d_ in range(d_chunks):
                     vacc = chunk_step(d_, vacc)
@@ -405,60 +441,76 @@ def _gather_sorted_i32(table2d, idx2d, wstarts, vbase, vlast, wrows: int,
             bad = bad | (hi < w0 * win_chunks * 8) | (
                 hi >= (w0 + 2) * win_chunks * 8)
             ovf = ovf + jnp.sum(bad.astype(jnp.float32)).astype(jnp.int32)
-            vaccs.append(vacc)
-        out_ref[:] = jnp.concatenate(vaccs, axis=0)
-        ovf_ref[0] = jnp.where(t == 0, ovf,
+            for p in range(C):
+                vaccs[p].append(vacc[p])
+        for p in range(C):
+            out_refs[p][:] = (vaccs[p][0] if VUN == 1
+                              else jnp.concatenate(vaccs[p], axis=0))
+        ovf_ref[0] = jnp.where((t == 0) & (v == 0), ovf,
                                jnp.maximum(ovf_ref[0], ovf))
 
     pltpu = _pltpu()
+
+    def win_spec(off):
+        return pl.BlockSpec(
+            (wrows, 128),
+            lambda i, v, w, off=off: (jnp.clip(w[i] + off, 0, wblocks - 1), 0))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nt,),
+        grid=(nt, nv),
         in_specs=[
-            pl.BlockSpec((t_rows, 128), lambda i, w: (i, 0)),
+            pl.BlockSpec((8 * VUN, 128), lambda i, v, w: (i * nv + v, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((wrows, 128),
-                         lambda i, w: (jnp.clip(w[i], 0, wblocks - 1), 0)),
-            pl.BlockSpec((wrows, 128),
-                         lambda i, w: (jnp.clip(w[i] + 1, 0, wblocks - 1), 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((t_rows, 128), lambda i, w: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        ] + [win_spec(0)] * C + [win_spec(1)] * C,
+        out_specs=[pl.BlockSpec((8 * VUN, 128),
+                                lambda i, v, w: (i * nv + v, 0))] * C
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
     )
     with _x32():
-        out, ovf = pl.pallas_call(
+        res = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((nt * t_rows, 128), jnp.int32),
-                jax.ShapeDtypeStruct((1,), jnp.int32),
-            ],
+            out_shape=[jax.ShapeDtypeStruct((nt * t_rows, 128), jnp.int32)
+                       ] * C + [jax.ShapeDtypeStruct((1,), jnp.int32)],
             interpret=interpret,
-        )(wstarts, idx2d, vbase, vlast, table2d, table2d)
-    return out, ovf
+        )(wstarts, idx2d, vbase, vlast, *tables2d, *tables2d)
+    return res[:C], res[C]
 
 
-def gather_sorted_i32(table, idx, d_chunks: int = 0, t_rows: int = 0):
-    """table[idx] for 1-D int32 table and monotone nondecreasing int32 idx.
-    Returns (values, overflow_count); overflow>0 means some index fell
-    outside its tile window (skewed density) — caller falls back to XLA.
+def _gs_wrows(C: int) -> int:
+    """Window rows per plane: scale down as planes multiply so the dual,
+    double-buffered windows stay well under the ~16 MB VMEM budget
+    (2 windows x 2 pipeline buffers x C planes x wrows x 512 B)."""
+    if C <= 2:
+        return _GS_WROWS
+    if C <= 4:
+        return 1024
+    return 512  # C <= 8 (callers batch larger groups)
+
+
+def gather_sorted_planes(tables, idx, d_chunks: int = 0, t_rows: int = 0):
+    """[t[idx] for t in tables] for equal-length 1-D int32 tables and
+    monotone nondecreasing int32 idx, in ONE kernel call. Returns
+    (values_list, overflow_count); overflow>0 means some index fell outside
+    its tile window (skewed density) — caller falls back to XLA.
 
     d_chunks bounds the table span (in 1024-entry chunks) that 1024
-    consecutive indices may cover; t_rows (idx rows per grid step) must
-    keep t_rows*128*avg_gap under the 2x window (2*262144 entries).
-    Pass 0 to derive both from a density hint via pick_sorted_params."""
-    dc_auto, tr_auto = pick_sorted_params(int(table.shape[0]),
-                                          int(idx.shape[0]))
+    consecutive indices may cover; t_rows (idx rows per grid step) must keep
+    t_rows*128*avg_gap under the 2x window. Pass 0 to derive both from a
+    density hint via pick_sorted_params."""
+    C = len(tables)
+    wrows = _gs_wrows(C)
+    s = int(tables[0].shape[0])
+    dc_auto, tr_auto = pick_sorted_params(s, int(idx.shape[0]), wrows)
     d_chunks = d_chunks or dc_auto
     t_rows = t_rows or tr_auto
-    s = table.shape[0]
-    s_pad = -(-s // (_GS_WROWS * 128)) * (_GS_WROWS * 128)
-    s_pad = max(s_pad, _GS_WROWS * 128)
+    s_pad = -(-s // (wrows * 128)) * (wrows * 128)
+    s_pad = max(s_pad, wrows * 128)
     if s_pad != s:
-        table = jnp.concatenate([table, jnp.zeros((s_pad - s,), table.dtype)])
+        z = jnp.zeros((s_pad - s,), jnp.int32)
+        tables = [jnp.concatenate([t, z]) for t in tables]
     n = idx.shape[0]
     idx = jnp.clip(idx, 0, max(s - 1, 0))
     tile = t_rows * 128
@@ -471,26 +523,36 @@ def gather_sorted_i32(table, idx, d_chunks: int = 0, t_rows: int = 0):
     nt = n_pad // tile
     # per-tile window block + per-vreg chunk bases (strided slices: cheap)
     firsts = idx[:: tile]  # (nt,)
-    wstarts = (firsts // (_GS_WROWS * 128)).astype(jnp.int32)
+    wstarts = (firsts // (wrows * 128)).astype(jnp.int32)
     vfirsts = idx[:: 1024]  # (nt * n_vreg,)
     vbase = (vfirsts // 1024).astype(jnp.int32)
     vlast = (idx[1023:: 1024] // 1024).astype(jnp.int32)
     if vlast.shape[0] < vbase.shape[0]:  # defensive: n_pad is a 1024-multiple
         vlast = jnp.concatenate(
             [vlast, vbase[vlast.shape[0]:]])
-    out, ovf = _gather_sorted_i32(
-        table.reshape(-1, 128), idx.reshape(-1, 128), wstarts, vbase, vlast,
-        _GS_WROWS, t_rows, d_chunks, INTERPRET)
-    return out.reshape(-1)[:n], ovf[0]
+    outs, ovf = _gather_sorted_i32(
+        idx.reshape(-1, 128), wstarts, vbase, vlast,
+        wrows, t_rows, d_chunks, INTERPRET,
+        *[t.reshape(-1, 128) for t in tables])
+    return [o.reshape(-1)[:n] for o in outs], ovf[0]
 
 
-def pick_sorted_params(table_n: int, idx_n: int):
+def gather_sorted_i32(table, idx, d_chunks: int = 0, t_rows: int = 0):
+    """Single-plane gather_sorted_planes (kept for tests/direct callers)."""
+    outs, ovf = gather_sorted_planes([table], idx, d_chunks, t_rows)
+    return outs[0], ovf
+
+
+def pick_sorted_params(table_n: int, idx_n: int, wrows: int = _GS_WROWS):
     """(d_chunks, t_rows) for an expected average index gap of
     table_n/idx_n: per-vreg span ~1024*gap entries with 4x headroom, and a
-    tile whose span stays within the 2x aligned window."""
+    tile whose span stays within the 2x aligned window. Both are rounded to
+    powers of two so kernel instantiations dedupe across nearby shapes
+    (every distinct static combo costs a ~10 s remote Mosaic compile)."""
     gap = max(table_n / max(idx_n, 1), 0.25)
     d_chunks = int(min(max(4 * gap + 2, 4), 512))
-    span_cap = _GS_WROWS * 128  # half the dual window
+    d_chunks = 1 << (d_chunks - 1).bit_length()  # pow2: dedupe compiles
+    span_cap = wrows * 128  # half the dual window
     t_rows = int(span_cap / (gap * 128))
     t_rows = max(min(t_rows, 256), 8)
     t_rows = 1 << (t_rows.bit_length() - 1)  # pow2 rows
@@ -621,19 +683,6 @@ MIN_N = 1 << 16
 MAX_SORTED_GAP = 128.0
 
 
-def _take_i32(table, idx, monotone: bool):
-    s, n = int(table.shape[0]), int(idx.shape[0])
-    if s <= CHUNK_TABLE_LIMIT:
-        return gather_chunked_i32(table, idx)
-    if monotone and s / max(n, 1) <= MAX_SORTED_GAP:
-        g, ovf = gather_sorted_i32(table, idx)
-        # density skew (ovf>0) falls back to XLA inside the program: cond
-        # executes only one branch at runtime
-        return jax.lax.cond(ovf == 0, lambda: g,
-                            lambda: jnp.take(table, idx, mode="clip"))
-    return jnp.take(table, idx, mode="clip")  # 1-D: axis irrelevant
-
-
 def _limbify(table):
     """Split a 1-D table into int32 limb arrays + a rebuild function."""
     dt = table.dtype
@@ -649,63 +698,76 @@ def _limbify(table):
                 jnp.stack([outs[0], outs[1]], axis=-1), dt))
 
 
-def _sort_route(table_limbs, idx32):
-    """Random big-table gather as sort + monotone windowed gather + unsort.
+_MAX_PLANES = 8  # per kernel call: dual double-buffered windows in ~16MB VMEM
 
-    XLA's 1-D random gather costs ~8-26ns per index regardless of locality
-    (bench_results/op_sol.log: 770x SOL); lax.sort runs at ~5-6x SOL. Sorting
-    the indices (with their positions as payload), gathering monotonically
-    through the Pallas windowed kernel, and inverting by a second sort is the
-    TPU-native equivalent of the reference's cache-friendly tuple loop
-    (reference: LazyJoinHashtable.cpp probe loops)."""
-    n = int(idx32.shape[0])
-    iota = jnp.arange(n, dtype=jnp.int32)
-    sidx, perm = jax.lax.sort([idx32, iota], num_keys=1)
-    gs = []
-    for t in table_limbs:
-        g, ovf = gather_sorted_i32(t, sidx)
-        gs.append(jax.lax.cond(
-            ovf == 0, lambda g=g: g,
-            lambda t=t: jnp.take(t, sidx, mode="clip")))
-    outs = jax.lax.sort([perm] + gs, num_keys=1)
-    return list(outs[1:])
+
+def _planes_gather(planes, idx32, monotone: bool, s: int, n: int):
+    """Gather a group of <= _MAX_PLANES equal-length i32 planes with shared
+    idx through whichever kernel wins; returns list of (n,) i32."""
+    if s <= CHUNK_TABLE_LIMIT:
+        return gather_chunked_planes(planes, idx32)
+    dense = s / max(n, 1) <= MAX_SORTED_GAP
+    if monotone and dense:
+        gs, ovf = gather_sorted_planes(planes, idx32)
+        # density skew (ovf>0) falls back to XLA inside the program: cond
+        # executes only one branch at runtime
+        return list(jax.lax.cond(
+            ovf == 0, lambda: tuple(gs),
+            lambda: tuple(jnp.take(t, idx32, mode="clip") for t in planes)))
+    if dense:
+        # random big-table gather as sort + monotone windowed gather +
+        # unsort. XLA's 1-D random gather costs ~8-26ns per index regardless
+        # of locality (bench_results/op_sol.log: 770x SOL); lax.sort runs at
+        # ~5-6x SOL. ONE index sort and ONE multi-operand unsort serve the
+        # whole plane group (reference: LazyJoinHashtable.cpp probe loops).
+        iota = jnp.arange(n, dtype=jnp.int32)
+        sidx, perm = jax.lax.sort([idx32, iota], num_keys=1)
+        gs, ovf = gather_sorted_planes(planes, sidx)
+        gs = list(jax.lax.cond(
+            ovf == 0, lambda: tuple(gs),
+            lambda: tuple(jnp.take(t, sidx, mode="clip") for t in planes)))
+        outs = jax.lax.sort([perm] + gs, num_keys=1)
+        return list(outs[1:])
+    return [jnp.take(t, idx32, mode="clip") for t in planes]
+
+
+def take_fast_multi(tables, idx, *, monotone: bool = False):
+    """[t[idx] for t in tables] with OOB clipped, for equal-length 1-D
+    tables sharing one index array. Columns are limb-split to i32 planes and
+    gathered in batched kernel calls (<= _MAX_PLANES planes each): ONE
+    Mosaic compile and one index decode per group instead of per column.
+    Set monotone=True ONLY for nondecreasing idx; violations are caught by
+    the kernel's overflow flag and fall back (cost: time, not correctness)."""
+    if not tables:
+        return []
+    if not isinstance(idx, jax.Array) or any(
+            not isinstance(t, jax.Array) for t in tables):
+        bidx = np.maximum(np.asarray(idx), 0)
+        return [np.take(np.asarray(t), bidx, axis=0) for t in tables]
+    n = int(idx.shape[0]) if idx.ndim == 1 else idx.size
+    if (not use_pallas()) or n < MIN_N or any(t.ndim != 1 for t in tables):
+        return [jnp.take(t, idx, axis=0, mode="clip") for t in tables]
+    s = int(tables[0].shape[0])
+    assert all(int(t.shape[0]) == s for t in tables), "equal-length tables"
+    idx32 = idx.astype(jnp.int32)
+    planes = []
+    rebuilds = []  # (plane_start, n_limbs, rebuild_fn)
+    for t in tables:
+        limbs, rb = _limbify(t)
+        rebuilds.append((len(planes), len(limbs), rb))
+        planes.extend(limbs)
+    outs = []
+    for g0 in range(0, len(planes), _MAX_PLANES):
+        outs.extend(_planes_gather(planes[g0:g0 + _MAX_PLANES], idx32,
+                                   monotone, s, n))
+    return [rb(outs[st:st + k]) for st, k, rb in rebuilds]
 
 
 def take_fast(table, idx, *, monotone: bool = False):
-    """table[idx] with OOB clipped — a drop-in for jnp.take(mode='clip')
-    that routes through the Pallas kernels when they win:
-      - tables <= 8K entries: chunked VMEM gather (any index order)
-      - monotone idx over dense tables: windowed sorted gather
-      - random idx over dense big tables: sort + windowed gather + unsort
-      - otherwise: XLA take
-    Set monotone=True ONLY for nondecreasing idx (positions from
-    compact_positions, sorted-FK probes); violations are caught by the
-    kernel's overflow flag and fall back, so a wrong hint costs time, not
-    correctness."""
-    if not isinstance(table, jax.Array):  # numpy baseline backend: host
-        return np.take(table, np.maximum(np.asarray(idx), 0), axis=0)
-    n = int(idx.shape[0]) if idx.ndim == 1 else idx.size
-    if (not use_pallas()) or n < MIN_N or table.ndim != 1:
-        return jnp.take(table, idx, axis=0, mode="clip")
-    idx32 = idx.astype(jnp.int32)
-    s = int(table.shape[0])
-    if (not monotone and s > CHUNK_TABLE_LIMIT
-            and s / max(n, 1) <= MAX_SORTED_GAP):
-        limbs, rebuild = _limbify(table)
-        return rebuild(_sort_route(limbs, idx32))
-    dt = table.dtype
-    if dt == jnp.bool_ or dt.itemsize <= 2:
-        out = _take_i32(table.astype(jnp.int32), idx32, monotone)
-        return out.astype(dt)
-    if dt.itemsize == 4:
-        t32 = jax.lax.bitcast_convert_type(table, jnp.int32)
-        return jax.lax.bitcast_convert_type(
-            _take_i32(t32, idx32, monotone), dt)
-    # 8-byte types: gather two 32-bit limbs
-    limbs = jax.lax.bitcast_convert_type(table, jnp.int32)  # (S, 2)
-    lo = _take_i32(limbs[:, 0], idx32, monotone)
-    hi = _take_i32(limbs[:, 1], idx32, monotone)
-    return jax.lax.bitcast_convert_type(jnp.stack([lo, hi], axis=-1), dt)
+    """table[idx] with OOB clipped — a drop-in for jnp.take(mode='clip').
+    See take_fast_multi; column groups should prefer the multi form so the
+    gather kernels compile and run once per group."""
+    return take_fast_multi([table], idx, monotone=monotone)[0]
 
 
 def nonzero_positions(mask, k: int):
@@ -725,5 +787,9 @@ def nonzero_positions(mask, k: int):
         ar = jnp.arange(k, dtype=jnp.int32)
         pos = jnp.where(ar < cnt, pos, jnp.int32(2147483646))
         return cnt.astype(jnp.int64), pos
-    pos = jnp.nonzero(mask, size=k, fill_value=0)[0].astype(jnp.int32)
+    # sentinel-fill the padding tail here too (not 0): downstream monotone
+    # gathers rely on nondecreasing positions regardless of which branch
+    # produced them — keeping the two branches' contracts identical removes
+    # the implicit coupling on use_pallas()/MIN_N thresholds
+    pos = jnp.nonzero(mask, size=k, fill_value=2147483646)[0].astype(jnp.int32)
     return jnp.sum(mask.astype(jnp.int64)), pos

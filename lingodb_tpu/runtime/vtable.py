@@ -23,15 +23,19 @@ from ..sql.types import K, IntervalUnit, Type
 @functools.partial(jax.jit, static_argnames=("monotone",))
 def _gather_tree(idx, arrays: dict, monotone: bool = False):
     """One fused gather over a pytree of equal-length columns. Routes through
-    the Pallas gather kernels (ops/pgather.py) on the chip — XLA's 1-D random
-    gather is ~770x off memory bandwidth there; monotone=True additionally
-    enables the windowed sorted-gather kernel (safe: a wrong hint is caught
-    by the kernel's overflow flag and falls back to XLA)."""
+    the batched Pallas gather kernels (ops/pgather.py) on the chip — XLA's
+    1-D random gather is ~770x off memory bandwidth there, and batching the
+    whole column group into one kernel amortizes both the ~10 s-per-kernel
+    remote Mosaic compile and the per-plane index decode; monotone=True
+    additionally enables the windowed sorted-gather kernel (safe: a wrong
+    hint is caught by the kernel's overflow flag and falls back to XLA)."""
     from ..ops import pgather as pg
 
     bidx = jnp.maximum(idx, 0)
-    return {k: pg.take_fast(a, bidx, monotone=monotone)
-            for k, a in arrays.items()}
+    keys = list(arrays)
+    outs = pg.take_fast_multi([arrays[k] for k in keys], bidx,
+                              monotone=monotone)
+    return dict(zip(keys, outs))
 
 
 def jnp_dtype(t: Type):

@@ -185,6 +185,9 @@ class Session:
     def _execute_statement(self, stmt):
         t = tracer.Timing()
         if isinstance(stmt, A.SelectStmt):
+            from .utils import compilestats
+
+            cs0 = compilestats.snapshot()
             with t.time("frontend"):
                 binder = Binder(self.catalog)
                 plan = binder.bind_query(stmt)
@@ -193,7 +196,11 @@ class Session:
             with t.time("execution"):
                 res = self.executor.execute(plan)
             if get_setting("sql.report_times"):
-                print(t.report())
+                cs = compilestats.delta(cs0)
+                print(t.report()
+                      + f"  [xla compiles={cs['compiles']} "
+                      f"({cs['compile_secs']:.1f}s) "
+                      f"cache_hits={cs['cache_hits']}]")
             return res
         if isinstance(stmt, A.ExplainStmt):
             from .sql.types import Type

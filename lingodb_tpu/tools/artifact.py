@@ -125,6 +125,16 @@ def run_artifact(session, path: str, strict: bool = True):
                     f"artifact built for different table versions: {stale} "
                     f"(rebuild with sql-to-artifact, or strict=False)")
         cache = _cache_dir()
+        if not cache:
+            # without a persistent compile cache dir the packaged
+            # executables cannot be merged — the artifact's no-recompile
+            # guarantee is lost silently otherwise (mirror the
+            # foreign-platform notice below)
+            import sys
+
+            print("# artifact: no persistent compilation cache dir "
+                  "configured (jax_compilation_cache_dir); stages will "
+                  "compile fresh", file=sys.stderr)
         if cache:
             os.makedirs(cache, exist_ok=True)
             for name in z.namelist():
