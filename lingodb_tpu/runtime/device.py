@@ -39,6 +39,13 @@ def get_mesh():
 
     if str(get_setting("system.parallelism")).upper() == "OFF":
         return None
+    from ..parallel import multihost as mh
+
+    # multi-host: join the jax.distributed cluster when LINGODB_COORDINATOR
+    # / LINGODB_NUM_PROCESSES are set (no-op single-process); the dp axis is
+    # then host-major so keyed exchanges split into ICI blocks + one DCN
+    # stripe (parallel/multihost.py)
+    mh.initialize()
     devs = [d for d in jax.devices() if d.platform != "cpu"]
     if len(devs) < 2:
         devs = jax.devices("cpu") if not devs else devs
@@ -46,7 +53,7 @@ def get_mesh():
         return None
     from jax.sharding import Mesh
 
-    _MESH = Mesh(np.array(devs), ("dp",))
+    _MESH = Mesh(np.array(mh.host_major_order(devs)), ("dp",))
     return _MESH
 
 

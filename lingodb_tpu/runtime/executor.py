@@ -1370,6 +1370,16 @@ class Executor:
                     return sharded
             fast = self._try_unique_key_join(op, kind, lvt, rvt, lk, rk,
                                              null_safe)
+            if fast is None and kind == "inner":
+                # inner joins are symmetric: when the right build side has
+                # duplicate keys (the FK side) but the LEFT side is unique
+                # (the PK side — Q3's customer x orders on custkey), probe
+                # with the right side over a LEFT-side LUT instead of
+                # falling to the hash-sort pairs path (reference analogue:
+                # hash-join side selection, OptimizeImplementations.cpp
+                # chooses build side by cardinality/uniqueness)
+                fast = self._try_unique_key_join(op, kind, rvt, lvt, rk, lk,
+                                                 null_safe, flipped=True)
             if fast is not None:
                 return fast
             # probe with the left side, build on the right
@@ -1383,7 +1393,7 @@ class Executor:
         return self._finish_pairs_join(op, kind, lvt, rvt, pidx, bidx, total)
 
     def _try_unique_key_join(self, op, kind, lvt, rvt, lk, rk,
-                             null_safe) -> Optional[VTable]:
+                             null_safe, flipped: bool = False) -> Optional[VTable]:
         """Direct-LUT eager join for single-int-key joins whose build side
         (right) has unique, densely-spanned keys — the common FK shape.
         Probes are ONE gather (through the Pallas kernels, ops/pgather.py)
@@ -1409,7 +1419,7 @@ class Executor:
         # base-table scan with a declared index on this key, the direct LUT
         # comes from the catalog (loaded from `<index>.idx` on reopen, never
         # rebuilt — reference: LingoDBHashIndex.cpp file-backed index)
-        payload = self._persisted_dense_lut(op)
+        payload = self._persisted_dense_lut(op, flipped)
         if payload is not None and payload["rows"] == nr:
             from ..storage import hashindex as hx
 
@@ -1421,9 +1431,9 @@ class Executor:
             lut = (hx.device_lut(payload) if be.is_jax(pk.data)
                    else payload["lut"])
             self._perf_note(f"join strategy=persisted_lut kind={kind} "
-                            f"span={span} nb={n_valid}")
+                            f"span={span} nb={n_valid} flipped={flipped}")
             return self._finish_unique_key_join(
-                op, kind, lvt, rvt, pk, lut, bmin, span, nl)
+                op, kind, lvt, rvt, pk, lut, bmin, span, nl, flipped)
         if nr > (1 << 25):
             return None  # LUT build cost outgrows the probe win
         t_lut0 = self._perf_sync()
@@ -1457,18 +1467,19 @@ class Executor:
             return None  # duplicate build keys: not a unique-key join
         t_lut1 = self._perf_sync(lut)
         self._perf_note(f"join strategy=session_lut kind={kind} span={span} "
-                        f"nb={n_valid} lut_build={(t_lut1 - t_lut0) * 1e3:.1f}ms")
+                        f"nb={n_valid} flipped={flipped} "
+                        f"lut_build={(t_lut1 - t_lut0) * 1e3:.1f}ms")
         return self._finish_unique_key_join(
-            op, kind, lvt, rvt, pk, lut, bmin, span, nl)
+            op, kind, lvt, rvt, pk, lut, bmin, span, nl, flipped)
 
-    def _persisted_dense_lut(self, op) -> Optional[dict]:
+    def _persisted_dense_lut(self, op, flipped: bool = False) -> Optional[dict]:
         """The dense LUT payload of a declared hash index covering this
         join's single equi key, when the build side is a base-table scan.
         Scan restrictions are allowed: filtering preserves order, so the
         caller's `payload rows == build rows` check proves no row was dropped
         and payload row ids equal build-side positions (inferred
         `IS NOT NULL` restrictions on indexed keys are the common case)."""
-        r = op.right
+        r = op.left if flipped else op.right
         if not isinstance(r, L.Scan):
             return None
         cat = self.session.catalog
@@ -1495,9 +1506,13 @@ class Executor:
         return p if p.get("kind") == "dense" else None
 
     def _finish_unique_key_join(self, op, kind, lvt, rvt, pk, lut, bmin,
-                                span, nl) -> VTable:
+                                span, nl, flipped: bool = False) -> VTable:
         """Probe a unique-key direct LUT (built in-session or loaded from a
-        persisted index payload) and assemble the join result."""
+        persisted index payload) and assemble the join result. With
+        flipped=True (inner only) lvt is the original RIGHT side probing a
+        LEFT-side LUT; output columns are identical either way (VTables are
+        cid-keyed)."""
+        build_cols = (op.left if flipped else op.right).output_cols()
         nr = rvt.num_rows
         t_p0 = self._perf_sync()
         pkd = pk.data.astype(jnp.int64)
@@ -1528,7 +1543,7 @@ class Executor:
             return VTable(cols, nl)
         if kind in ("left", "single"):
             cols = dict(lvt.cols)
-            for c in op.right.output_cols():
+            for c in build_cols:
                 cols[c.cid] = rvt.col(c.cid).take_with_invalid(
                     pos, ~found, monotone=p_sorted)
             return VTable(cols, nl)
@@ -1536,7 +1551,7 @@ class Executor:
         keep = int(jnp.sum(found))
         if keep == 0:
             cols = {cid: _empty_like(c) for cid, c in lvt.cols.items()}
-            for c in op.right.output_cols():
+            for c in build_cols:
                 cols[c.cid] = _empty_like(rvt.col(c.cid))
             return VTable(cols, 0)
         t_c0 = self._perf_sync()
@@ -1545,7 +1560,7 @@ class Executor:
         t_c1 = self._perf_sync(li, ri)
         out = lvt.take(li, keep, monotone=True)
         rcols = VTable({c.cid: rvt.col(c.cid)
-                        for c in op.right.output_cols()
+                        for c in build_cols
                         if c.cid in rvt.cols}, nr).take(ri, keep,
                                                         monotone=p_sorted)
         t_c2 = self._perf_sync(*[c.data for c in out.cols.values()],

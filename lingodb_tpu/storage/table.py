@@ -239,8 +239,13 @@ class TableStorage:
              file_name: str | None = None) -> "TableStorage":
         import pyarrow.ipc as ipc
 
+        import pyarrow as pa
+
         path = os.path.join(db_dir, file_name or f"{name}.arrow")
-        with ipc.open_file(path) as r:
+        # memory-map: column buffers stay zero-copy views into the page
+        # cache (fresh multi-hundred-MB allocations page-fault for seconds
+        # in this environment; mapped reads page in lazily at full speed)
+        with pa.memory_map(path) as mm, ipc.open_file(mm) as r:
             table = r.read_all()
         t = TableStorage.create(name, names, types)
         cols = []
@@ -422,7 +427,7 @@ def _from_arrow(t: Type, chunked) -> Column:
     if t.kind == K.DECIMAL:
         if pa.types.is_integer(arr.type):  # our scaled-int64 persistence form
             data = np.asarray(arr.fill_null(0) if arr.null_count else arr)
-            return Column(t, data.astype(np.int64), valid)
+            return Column(t, data.astype(np.int64, copy=False), valid)
         pyvals = [0 if v is None else int(v.scaleb(t.s)) for v in arr.to_pylist()]
         if all(-(1 << 63) <= v < (1 << 63) for v in pyvals):
             return Column(t, np.array(pyvals, dtype=np.int64), valid)
@@ -432,12 +437,12 @@ def _from_arrow(t: Type, chunked) -> Column:
             ms = np.asarray(arr.cast(pa.int64()).fill_null(0))
             return Column(t, (ms // 86_400_000).astype(np.int32), valid)
         days = np.asarray(arr.cast(pa.int32()).fill_null(0))
-        return Column(t, days.astype(np.int32), valid)
+        return Column(t, days.astype(np.int32, copy=False), valid)
     if t.kind == K.TIMESTAMP:
         if pa.types.is_timestamp(arr.type) and arr.type.unit != "us":
             arr = arr.cast(pa.timestamp("us"))
         us = np.asarray(arr.cast(pa.int64()).fill_null(0))
-        return Column(t, us.astype(np.int64), valid)
+        return Column(t, us.astype(np.int64, copy=False), valid)
     if arr.null_count:
         arr = arr.fill_null(False if pa.types.is_boolean(arr.type) else 0)
     data = np.asarray(arr)
