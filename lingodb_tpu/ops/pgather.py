@@ -152,7 +152,11 @@ def _flat_iota(r, dtype=jnp.int32):
 # K1: gather_chunked — small VMEM-resident tables
 # --------------------------------------------------------------------------
 
-CHUNK_TABLE_LIMIT = 8192  # entries; cost is ~3 vreg-ops per 128-entry chunk
+# entries; cost is ~3 vreg-ops per 128-entry chunk of the table per output
+# tile. 16K keeps dimension-table probes (customer/part at small SFs) on
+# the sort-free chunked kernel: every lax.sort the alternative sort-route
+# path would emit costs ~20s+8s/operand of remote compile
+CHUNK_TABLE_LIMIT = 16384
 
 
 @functools.partial(jax.jit, static_argnames=("s_pad", "t_rows", "interpret"))
@@ -197,7 +201,9 @@ def gather_chunked_planes(tables, idx):
     """[t[clip(idx)] for t in tables] for int32 1-D equal-length tables with
     <= CHUNK_TABLE_LIMIT entries; idx any shape int32. One kernel call."""
     s = tables[0].shape[0]
-    s_pad = max(-(-s // 128) * 128, 128)
+    # pow2 table padding: kernel instances are keyed on the chunk count, so
+    # nearby table sizes share one compiled kernel
+    s_pad = max(128, 1 << (s - 1).bit_length()) if s > 1 else 128
     if s_pad != s:
         z = jnp.zeros((s_pad - s,), jnp.int32)
         tables = [jnp.concatenate([t, z]) for t in tables]
@@ -676,6 +682,10 @@ FORCE_PALLAS = None  # tests set True (with INTERPRET) or False
 # below this many indices XLA's gather cost is negligible and kernel
 # padding/dispatch overhead dominates
 MIN_N = 1 << 16
+# random-gather size below which plain XLA take beats the sort-route's
+# runtime+compile economics (~19ns/elem -> 80ms at 4M, vs two multi-operand
+# lax.sorts costing ~45-65s of one-time remote compile)
+SORT_ROUTE_MIN_N = 4 << 20
 # monotone gather beats XLA take while the average index gap keeps the
 # chunk walk short; with the per-vreg early exit the walk costs
 # ~gap*26/1024 instr per element vs XLA take's ~19ns/elem, so the
@@ -714,12 +724,16 @@ def _planes_gather(planes, idx32, monotone: bool, s: int, n: int):
         return list(jax.lax.cond(
             ovf == 0, lambda: tuple(gs),
             lambda: tuple(jnp.take(t, idx32, mode="clip") for t in planes)))
-    if dense:
+    if dense and n >= SORT_ROUTE_MIN_N:
         # random big-table gather as sort + monotone windowed gather +
         # unsort. XLA's 1-D random gather costs ~8-26ns per index regardless
         # of locality (bench_results/op_sol.log: 770x SOL); lax.sort runs at
         # ~5-6x SOL. ONE index sort and ONE multi-operand unsort serve the
         # whole plane group (reference: LazyJoinHashtable.cpp probe loops).
+        # Below SORT_ROUTE_MIN_N the XLA take's ~19ns/elem costs less wall
+        # time than it looks while each lax.sort the route needs costs
+        # ~20s+8s/operand of REMOTE compile — small/mid gathers stay on
+        # plain takes (compile-free).
         iota = jnp.arange(n, dtype=jnp.int32)
         sidx, perm = jax.lax.sort([idx32, iota], num_keys=1)
         gs, ovf = gather_sorted_planes(planes, sidx)

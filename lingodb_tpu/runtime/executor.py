@@ -829,6 +829,14 @@ class Executor:
             snames = set(entry.storage.sorted_cols)
             sorted_cids = frozenset(
                 c.cid for c in cur.cols if c.name in snames)
+        # single group key that IS a clustered base column (TPC-H lineitem
+        # by l_orderkey after ReduceGroupByKeys): the spine preserves scan
+        # order through filters/compaction/probe-side joins, so the general
+        # grouping can skip its multi-operand lax.sort entirely — each
+        # lax.sort costs ~20s + ~8s/operand of REMOTE compile on this rig
+        # (the single largest fused-warmup term measured in r4)
+        presorted_group = (len(op.group_by) == 1
+                           and op.group_by[0] in sorted_cids)
         prep_key = ("fused_prep", key)
         join_preps = cache.get(prep_key)
         if join_preps is None:
@@ -996,7 +1004,8 @@ class Executor:
                             for c in key_cols
                         ]
                         return extra + _fused_general_group(
-                            op, key_cols, env, mask, cur_n, meta)
+                            op, key_cols, env, mask, cur_n, meta,
+                            presorted=presorted_group)
                     radices = [gb.small_domain(c) for c in key_cols]
                 else:
                     gid = jnp.zeros((cur_n,), jnp.int32)
@@ -1066,11 +1075,18 @@ class Executor:
                 return extra + tuple(outs)
 
             try:
+                t_c0 = self._perf_sync()
                 jitted = jax.jit(fn)
                 result = jitted(*arrays)
                 # touch to force trace/compile errors now
                 cache[key] = (jitted, meta, [t for t in templates])
-            except Exception:  # non-traceable (UDFs, host string ops, sparse keys)
+                self._perf_note(
+                    f"fused_agg compile+first-run "
+                    f"{(self._perf_sync() - t_c0):.1f}s n={n} "
+                    f"compact_k={compact_k} presorted={presorted_group}")
+            except Exception as fe:  # non-traceable (UDFs, host strings...)
+                self._perf_note(f"fused_agg DECLINED (trace/compile): "
+                                f"{type(fe).__name__}: {str(fe)[:160]}")
                 cache[key] = "eager"
                 return None
         else:
@@ -2191,7 +2207,7 @@ def _slice_prefix(arrays, g_pad: int):
     return tuple(a[:g_pad] for a in arrays)
 
 
-def _fused_general_group(op, key_cols, env, mask, n, meta):
+def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False):
     """General (large-domain) grouping INSIDE the fused program: ONE
     multi-operand sort carries the key images AND every payload column
     (filtered-out rows pushed to the end), then each aggregate reduces with
@@ -2201,11 +2217,21 @@ def _fused_general_group(op, key_cols, env, mask, n, meta):
     windowed sorted-gather kernel (XLA's random 1-D gather runs ~770x off
     memory speed-of-light on this chip — bench_results/op_sol.log). Emits
     n-sized padded outputs plus the group count; the host slices the first
-    `num_groups` entries with one tiny follow-up program."""
+    `num_groups` entries with one tiny follow-up program.
+
+    presorted=True (caller-proven: single integer-image group key riding a
+    clustered base column through an order-preserving spine) skips the sort
+    entirely — masked rows stay in place (their contributions are zeroed
+    and group extents simply span them), and boundaries compare each
+    unmasked row's key against the running max of previous unmasked keys.
+    This removes the ~20s+8s/operand remote sort compile AND the sort's
+    runtime from the reduction: grouping becomes pure streaming."""
     import jax.numpy as jx
 
     in_mask = mask if mask is not None else jx.ones((n,), jx.bool_)
     imgs = [jx.broadcast_to(x, (n,)) for x in gb.keymod.grouping_images(key_cols)]
+    if presorted and len(imgs) != 1:
+        presorted = False  # joint sortedness only proven for one image
 
     # every array the reductions need rides the sort as a payload operand:
     # one multi-operand lax.sort (~5-6x SOL) replaces a materialized
@@ -2236,18 +2262,34 @@ def _fused_general_group(op, key_cols, env, mask, n, meta):
         vslot = None if arg.valid is None else ride(arg.valid)
         agg_args.append((arg, dslot, vslot))
 
-    sortops = [(~in_mask).astype(jx.int32)] + imgs + payload
-    nk = 1 + len(imgs)
-    res = jax.lax.sort(sortops, num_keys=nk)
-    inm_s = res[0] == 0
-    simgs = res[1:nk]
-    pay_s = res[nk:]
+    if presorted:
+        inm_s = in_mask
+        simgs = imgs
+        pay_s = payload
+        img = imgs[0]
+        lo = jnp.iinfo(img.dtype).min
+        # previous unmasked key via running max (img is nondecreasing on
+        # unmasked rows); a masked row never opens a boundary
+        pm = jax.lax.cummax(jx.where(in_mask, img, lo))
+        prev = jx.concatenate([jx.full((1,), lo, img.dtype), pm[:-1]])
+        # first unmasked row always opens a group (img > INT_MIN fails only
+        # in the img == INT_MIN corner, so guard it explicitly)
+        first_un = in_mask & (jx.cumsum(in_mask.astype(jx.int32)) == 1)
+        boundary = in_mask & ((img > prev) | first_un)
+    else:
+        sortops = [(~in_mask).astype(jx.int32)] + imgs + payload
+        nk = 1 + len(imgs)
+        res = jax.lax.sort(sortops, num_keys=nk)
+        inm_s = res[0] == 0
+        simgs = res[1:nk]
+        pay_s = res[nk:]
 
-    boundary = jx.concatenate([jx.ones((1,), jx.bool_), jx.zeros((n - 1,), jx.bool_)])
-    for s_ in simgs:
-        boundary = boundary | jx.concatenate(
-            [jx.ones((1,), jx.bool_), s_[1:] != s_[:-1]])
-    boundary = boundary & inm_s
+        boundary = jx.concatenate([jx.ones((1,), jx.bool_),
+                                   jx.zeros((n - 1,), jx.bool_)])
+        for s_ in simgs:
+            boundary = boundary | jx.concatenate(
+                [jx.ones((1,), jx.bool_), s_[1:] != s_[:-1]])
+        boundary = boundary & inm_s
     num_groups = jx.sum(boundary.astype(jx.int64))
     cnt32 = num_groups.astype(jx.int32)
     # group-start positions, compacted (monotone; padding tail clipped by
@@ -2278,17 +2320,74 @@ def _fused_general_group(op, key_cols, env, mask, n, meta):
         cs = jx.cumsum(v, axis=0)
         return ("sum", defer(g_lpos, cs), defer(g_bm1, cs))
 
-    def gminmax(v, fn):
-        starts = boundary
-        op_ = jx.minimum if fn == "min" else jx.maximum
+    # segmented extrema WITHOUT lax.associative_scan (a custom combine at
+    # engine sizes costs MINUTES of remote compile — measured r4): pack
+    # (group_id << 32) | transform(value) into one int64 and take a plain
+    # cummax. Group ids are nondecreasing, so at a group's last row the
+    # running max's low 32 bits are exactly that group's best transform —
+    # earlier groups pack strictly lower (their gid dominates the high
+    # bits) and can never win. jnp.cumsum/cummax compile in seconds.
+    gid64 = jx.cumsum(boundary.astype(jx.int64)) - 1
+    gid64 = jx.maximum(gid64, 0)
+    pos64 = jx.arange(n, dtype=jx.int64)
 
-        def combine(a, b):
-            af, av = a
-            bf, bv = b
-            return af | bf, jx.where(bf, bv, op_(av, bv))
+    def _packed_cummax_low32(tr):
+        """low 32 bits of the running packed max, at group-last rows."""
+        cm = jax.lax.cummax((gid64 << 32) | tr)
+        return cm & jx.int64(0xFFFFFFFF)
 
-        _, scanned = jax.lax.associative_scan(combine, (starts, v))
-        return ("at", defer(g_lpos, scanned))
+    def gminmax(v, fn, keep):
+        """Per-group min/max at any physical width. 32-bit values take one
+        packed cummax; 64-bit values (int64 / f64 / scaled decimals) take
+        TWO — the high limb first, then the low limb among rows achieving
+        the group's high-limb optimum (the per-row group optimum broadcasts
+        back through a monotone gather at the nondecreasing gid). Floats map
+        through the sign-flip bit image so unsigned integer order equals
+        float order (IEEE-754 total order on non-NaN values)."""
+        dt = v.dtype
+        if dt in (jx.int32, jx.bool_, jx.int16, jx.int8, jx.float32):
+            if dt == jx.float32:
+                b = jax.lax.bitcast_convert_type(v, jx.int32)
+                u = b ^ jx.where(b >= 0, jx.int32(-(1 << 31)), jx.int32(-1))
+                img = u.astype(jx.int64) + jx.int64(1 << 31)
+            else:
+                img = v.astype(jx.int64) + jx.int64(1 << 31)
+            if fn == "min":
+                img = jx.int64((1 << 32) - 1) - img
+            img = jx.where(keep, img, jx.int64(0))
+            return ("minmax32", defer(g_lpos, _packed_cummax_low32(img)),
+                    fn, dt)
+        if dt not in (jx.int64, jx.float64):
+            raise _NotDense(f"general fused {fn}: unsupported dtype {dt}")
+        if dt == jx.float64:
+            b = jax.lax.bitcast_convert_type(v, jx.int64)
+            u = b ^ jx.where(b >= 0, jx.int64(-(1 << 63)), jx.int64(-1))
+        else:
+            u = v ^ jx.int64(-(1 << 63))  # unsigned-order image
+        if fn == "min":
+            u = ~u  # reverse unsigned order
+        mask32 = jx.int64(0xFFFFFFFF)
+        uhi = (u >> 32) & mask32
+        ulo = u & mask32
+        keep64 = keep
+        hi_best = _packed_cummax_low32(jx.where(keep64, uhi, jx.int64(0)))
+        # hi_best[g] holds group g's best high limb (after the lpos gather);
+        # rows read their group's value back via a monotone gid gather
+        slot_hi = defer(g_lpos, hi_best)
+        return ("minmax64", slot_hi, fn, dt,
+                uhi, ulo, keep64)
+
+    def gfirst_valid(dslot, vslot):
+        """any_value: the FIRST row of the group whose argument is valid
+        (matches the dense path's ignore-NULLs choice); works at any value
+        width because only the row POSITION is packed. Returns positions —
+        the caller gathers the original payload at them (monotone: first
+        positions ascend with groups)."""
+        keep = inm_s if vslot is None else (inm_s & pay_s[vslot])
+        maxp = jx.int64(0xFFFFFFFF)
+        tr = jx.where(keep, maxp - pos64, jx.int64(0))
+        low = _packed_cummax_low32(tr)
+        return ("firstpos", defer(g_lpos, low), dslot)
 
     outs = [num_groups]
     for dslot, vslot in key_slots:
@@ -2329,10 +2428,13 @@ def _fused_general_group(op, key_cols, env, mask, n, meta):
             outs.append(gsum(data_s))
             outs.append(cnt)
             continue
-        sentinel = gb._extreme(data_s.dtype, maximum=(spec.fn == "min"))
+        if spec.fn == "any_value":
+            outs.append(gfirst_valid(dslot, vslot))
+            outs.append(cnt)
+            meta["agg_dicts"][spec.out.cid] = arg.dictionary
+            continue
         keep = inm_s if avalid_s is None else (inm_s & avalid_s)
-        data_s = jx.where(keep, data_s, sentinel)
-        outs.append(gminmax(data_s, spec.fn))
+        outs.append(gminmax(data_s, spec.fn, keep))
         outs.append(cnt)
         meta["agg_dicts"][spec.out.cid] = arg.dictionary
 
@@ -2341,13 +2443,52 @@ def _fused_general_group(op, key_cols, env, mask, n, meta):
     got_m1 = pgather.take_fast_multi(g_bm1, jx.maximum(bpos - 1, 0),
                                      monotone=True)
 
+    # second wave: 64-bit extrema tie-break — among rows achieving their
+    # group's best HIGH limb (broadcast back through a monotone gid gather),
+    # take the best LOW limb with one more packed cummax + lpos gather
+    g_lpos2: list = []
+    mm64_slot: dict[int, int] = {}
+    gid32 = gid64.astype(jx.int32)
+    for o in outs:
+        if isinstance(o, tuple) and o[0] == "minmax64" and id(o) not in mm64_slot:
+            _tag, slot_hi, _fn, _dt, uhi, ulo, keep64 = o
+            hi_row = pgather.take_fast(got_l[slot_hi], gid32, monotone=True)
+            trB = jx.where(keep64 & (uhi == hi_row), ulo, jx.int64(0))
+            mm64_slot[id(o)] = len(g_lpos2)
+            g_lpos2.append(_packed_cummax_low32(trB))
+    got_l2 = pgather.take_fast_multi(g_lpos2, lpos, monotone=True)
+
     def resolve(o):
         if not isinstance(o, tuple):
             return o
         if o[0] == "at_b":
             return got_b[o[1]]
-        if o[0] == "at":
-            return got_l[o[1]]
+        if o[0] == "minmax32":
+            low = got_l[o[1]]
+            if o[2] == "min":
+                low = jx.int64((1 << 32) - 1) - low
+            u = low - jx.int64(1 << 31)
+            if o[3] == jx.float32:
+                u32 = u.astype(jx.int32)
+                b = u32 ^ jx.where(u32 < 0, jx.int32(-(1 << 31)),
+                                   jx.int32(-1))
+                return jax.lax.bitcast_convert_type(b, jx.float32)
+            return u.astype(o[3])
+        if o[0] == "minmax64":
+            u = (got_l[o[1]] << 32) | got_l2[mm64_slot[id(o)]]
+            if o[2] == "min":
+                u = ~u
+            if o[3] == jx.float64:
+                b = u ^ jx.where(u < 0, jx.int64(-(1 << 63)), jx.int64(-1))
+                return jax.lax.bitcast_convert_type(b, jx.float64)
+            return u ^ jx.int64(-(1 << 63))
+        if o[0] == "firstpos":
+            low = got_l[o[1]]
+            fpos = (jx.int64(0xFFFFFFFF) - low).astype(jx.int32)
+            # first-valid positions ascend with groups: monotone gather of
+            # the ORIGINAL payload (any width) at them; no-valid groups
+            # produce a clipped garbage row that cnt==0 turns into NULL
+            return pgather.take_fast(pay_s[o[2]], fpos, monotone=True)
         hi, lo = got_l[o[1]], got_m1[o[2]]
         return hi - jx.where(bpos == 0, jx.zeros_like(lo), lo)
 
