@@ -139,6 +139,136 @@ def __cast(ref: ColRef, t: Type):
     return Cast(ref, t)
 
 
+def eager_fact_preagg(plan: L.LogicalOp, catalog) -> L.LogicalOp:
+    """The mirrored eager-aggregation direction for star joins:
+
+      Aggregate(K, aggs) over [Map(L-only)] Join[inner](L, R, lk = rk)
+      with R unique on rk, K subset of R's columns, and every aggregate
+      argument from L
+
+    becomes
+
+      Aggregate(K, lift(aggs)) over Join[inner](Aggregate(L by lk, aggs),
+                                               R, lk = rk)
+
+    — the fact side pre-reduces by ITS join key before the join (TPC-H Q10:
+    lineitem pre-sums revenue per l_orderkey). On TPU this is decisive:
+    lk rides the fact table's clustered order, so the big pre-aggregation
+    takes the fused SORT-FREE presorted grouping, the join shrinks to
+    unique-key LUT form, and the final grouping runs at dimension
+    cardinality instead of fact cardinality. sum/count lift through as
+    sums, min/max as min/max (both levels partition the same rows:
+    each fact row joins at most one R row — rk unique — and survives iff
+    its lk group survives, so regrouping partial results by K is exact).
+    Reference analogue: eager aggregation / groupjoin,
+    OptimizeImplementations.cpp:580-660.
+    """
+    from .constraints import collect_fds
+
+    cids = _Cids(plan)
+
+    def sub_rows(node):
+        out = 0
+        for s in L.walk_plan(node):
+            if isinstance(s, L.Scan):
+                e = catalog.get_table(s.table)
+                if e is not None:
+                    out = max(out, e.num_rows)
+        return out
+
+    def rec(op: L.LogicalOp) -> L.LogicalOp:
+        kids = op.children()
+        if kids:
+            op = op.replace_children([rec(c) for c in kids])
+        if not isinstance(op, L.Aggregate) or not op.group_by:
+            return op
+        j = op.child
+        pushed_map = None
+        if isinstance(j, L.Map):
+            pushed_map, j = j, j.child
+        if not isinstance(j, L.Join) or j.kind != "inner":
+            return op
+        if getattr(j, "null_aware", None) is not None:
+            return op
+        lcids = {c.cid for c in j.left.output_cols()}
+        rcids = {c.cid for c in j.right.output_cols()}
+        if pushed_map is not None:
+            # the Map must read only fact-side columns (it computes the
+            # aggregate arguments); its outputs count as fact columns
+            for _ci, e in pushed_map.computed:
+                if E.used_cols(e) - lcids:
+                    return op
+            lcids = lcids | {ci.cid for ci, _e in pushed_map.computed}
+        eqs = []
+        for c in E.conjuncts(j.predicate):
+            if (isinstance(c, Call) and c.op == "eq"
+                    and isinstance(c.args[0], ColRef)
+                    and isinstance(c.args[1], ColRef)):
+                a, b = c.args[0].cid, c.args[1].cid
+                if a in lcids and b in rcids:
+                    eqs.append((c.args[0], c.args[1]))
+                    continue
+                if b in lcids and a in rcids:
+                    eqs.append((c.args[1], c.args[0]))
+                    continue
+            return op  # residual predicate: bail (pushdown ran already)
+        if len(eqs) != 1:
+            return op
+        lk, rk = eqs[0]
+        if not set(op.group_by) <= rcids:
+            return op
+        # split: fact-side aggregates get pushed; any_value over dimension
+        # columns (FD-recovered group payloads) stays in the outer level —
+        # dimension columns pass through the rebuilt join unchanged
+        push_specs, keep_specs = [], []
+        for a in op.aggs:
+            if a.distinct:
+                return op
+            if (a.fn == "any_value" and a.arg is not None
+                    and a.arg in rcids):
+                keep_specs.append(a)
+                continue
+            if a.fn not in _PUSHABLE:
+                return op
+            if a.arg is None and a.fn != "count_star":
+                return op
+            if a.arg is not None and a.arg not in lcids:
+                return op
+            push_specs.append(a)
+        if not push_specs:
+            return op
+        fds = collect_fds(j.right, catalog)
+        if fds.key is None or not fds.key <= fds.expand({rk.cid}):
+            return op  # R not unique on the join key
+        # worth it only when the fact side dwarfs the dimension side —
+        # otherwise the extra aggregation level just adds a pass
+        if sub_rows(j.left) < 2 * sub_rows(j.right):
+            return op
+
+        lk_info = next((c for c in j.left.output_cols() if c.cid == lk.cid),
+                       None)
+        if lk_info is None:
+            return op
+        l_in = j.left
+        if pushed_map is not None:
+            l_in = L.Map(l_in, list(pushed_map.computed))
+        inner_aggs, outer_aggs = [], []
+        lifted = {"sum": "sum", "count": "sum", "count_star": "sum",
+                  "min": "min", "max": "max"}
+        for a in push_specs:
+            ic = cids.fresh(a.out.name, a.out.type)
+            inner_aggs.append(L.AggSpec(ic, a.fn, a.arg))
+            outer_aggs.append(L.AggSpec(a.out, lifted[a.fn], ic.cid))
+        outer_aggs.extend(keep_specs)
+        inner = L.Aggregate(l_in, [lk.cid], inner_aggs, [lk_info])
+        njoin = L.Join("inner", inner, j.right,
+                       Call("eq", [ColRef(lk.cid, lk_info.type), rk],
+                            Type.bool_(True)))
+        return L.Aggregate(njoin, op.group_by, outer_aggs, op.group_cols)
+
+    return rec(plan)
+
+
 # ------------------------------------------------------------ distinct split
 def split_distinct_aggregates(plan: L.LogicalOp, catalog=None) -> L.LogicalOp:
     """Aggregate(K, aggs all DISTINCT on one shared argument x) becomes

@@ -112,12 +112,37 @@ def collect_fds(op: L.LogicalOp, catalog) -> FDs:
         if op.kind in ("semi", "anti"):
             return collect_fds(op.left, catalog)
         if op.kind in ("inner", "cross"):
-            fds = collect_fds(op.left, catalog)
-            fds.merge(collect_fds(op.right, catalog))
+            lf = collect_fds(op.left, catalog)
+            rf = collect_fds(op.right, catalog)
+            lcids = {c.cid for c in op.left.output_cols()}
+            rcids = {c.cid for c in op.right.output_cols()}
+            lks, rks = set(), set()
+            for a, b in _eq_col_pairs(op.predicate):
+                if a in lcids and b in rcids:
+                    lks.add(a)
+                    rks.add(b)
+                elif b in lcids and a in rcids:
+                    lks.add(b)
+                    rks.add(a)
+            # key propagation (reference: FD interface key inference,
+            # OperatorInterfaceImpl.cpp): a side joined on a unique key
+            # matches each opposite row at most once, so the opposite
+            # side's key remains a key of the join
+            r_unique = (rf.key is not None and rks
+                        and rf.key <= rf.expand(frozenset(rks)))
+            l_unique = (lf.key is not None and lks
+                        and lf.key <= lf.expand(frozenset(lks)))
+            lkey, rkey = lf.key, rf.key
+            fds = lf
+            fds.merge(rf)
             for a, b in _eq_col_pairs(op.predicate):
                 fds.insert({a}, {b})
                 fds.insert({b}, {a})
             fds.key = None
+            if r_unique and lkey is not None:
+                fds.key = lkey
+            elif l_unique and rkey is not None:
+                fds.key = rkey
             return fds
         if op.kind in ("left", "single", "mark"):
             # right columns may be NULL-extended, but each output row still

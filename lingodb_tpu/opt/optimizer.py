@@ -37,7 +37,8 @@ def optimize(plan: L.LogicalOp, catalog) -> L.LogicalOp:
             node.holder.optimized = True
             node.holder.plan = optimize(node.holder.plan, catalog)
 
-    from .aggrewrites import eager_aggregation, split_distinct_aggregates
+    from .aggrewrites import (eager_aggregation, eager_fact_preagg,
+                              split_distinct_aggregates)
     from .constraints import expand_transitive_equalities, reduce_group_keys
     from .cse import eliminate_common_subtrees
     from .joinorder import reorder_joins
@@ -63,6 +64,10 @@ def optimize(plan: L.LogicalOp, catalog) -> L.LogicalOp:
         ("eager-aggregation", lambda p: eager_aggregation(p, catalog)),
         ("split-distinct-aggregates", split_distinct_aggregates),
         ("join-order", lambda p: reorder_joins(p, catalog)),
+        # fact-side pre-aggregation wants the final join orientation (the
+        # fact spine as the aggregate's direct join child), so it runs
+        # after ordering
+        ("eager-fact-preagg", lambda p: eager_fact_preagg(p, catalog)),
         # collapse alpha-equivalent duplicated subtrees (CTE/view clones) onto
         # shared Tmp materializations (reference: CommonSubtreeElimination +
         # IntroduceTmp, Passes.cpp:46-47)

@@ -688,6 +688,10 @@ class Executor:
             "probe_sorted": (isinstance(probe_expr, ColRef)
                              and probe_expr.cid in sorted_cids
                              and probe_expr2 is None),
+            "probe_cid": (probe_expr.cid
+                          if isinstance(probe_expr, ColRef) else None),
+            "build_cid": (build_expr.cid
+                          if isinstance(build_expr, ColRef) else None),
             "maxdup": maxdup,
             "direct": direct,
             "residual": residual,
@@ -829,14 +833,6 @@ class Executor:
             snames = set(entry.storage.sorted_cols)
             sorted_cids = frozenset(
                 c.cid for c in cur.cols if c.name in snames)
-        # single group key that IS a clustered base column (TPC-H lineitem
-        # by l_orderkey after ReduceGroupByKeys): the spine preserves scan
-        # order through filters/compaction/probe-side joins, so the general
-        # grouping can skip its multi-operand lax.sort entirely — each
-        # lax.sort costs ~20s + ~8s/operand of REMOTE compile on this rig
-        # (the single largest fused-warmup term measured in r4)
-        presorted_group = (len(op.group_by) == 1
-                           and op.group_by[0] in sorted_cids)
         prep_key = ("fused_prep", key)
         join_preps = cache.get(prep_key)
         if join_preps is None:
@@ -851,6 +847,31 @@ class Executor:
                     return None
                 join_preps[si] = prep
             cache[prep_key] = join_preps
+        # single group key that rides the spine's clustered order (TPC-H
+        # lineitem by l_orderkey after ReduceGroupByKeys) — directly, or
+        # through an INNER unique-key join whose build key equals the group
+        # key while the probe key is the sorted column (Q18 groups by
+        # o_orderkey == sorted l_orderkey; unmatched rows are masked and
+        # masked rows never open boundaries). The general grouping then
+        # skips its multi-operand lax.sort entirely — each lax.sort costs
+        # ~20s + ~8s/operand of REMOTE compile on this rig (the single
+        # largest fused-warmup term measured in r4).
+        def _base_col_nonnull(cid):
+            t = next((t for c, t in base_cols if c == cid), None)
+            return t is not None and t.valid is None
+
+        presorted_group = len(op.group_by) == 1 and (
+            # direct: NULLs would form an out-of-order group, so the direct
+            # case demands a non-nullable stored column; the equi case is
+            # safe because an invalid key row is by construction masked out
+            # (inner-join found folds into the pipeline mask)
+            (op.group_by[0] in sorted_cids
+             and _base_col_nonnull(op.group_by[0]))
+            or any(p.get("kind") == "inner"
+                   and p.get("build_cid") == op.group_by[0]
+                   and p.get("probe_cid") in sorted_cids
+                   and p.get("probe_expr2") is None
+                   for p in join_preps.values()))
 
         # probe-side compaction: when the leading filters keep only a small
         # fraction of the base rows, gather the survivors once (static-size
@@ -2230,8 +2251,12 @@ def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False):
 
     in_mask = mask if mask is not None else jx.ones((n,), jx.bool_)
     imgs = [jx.broadcast_to(x, (n,)) for x in gb.keymod.grouping_images(key_cols)]
-    if presorted and len(imgs) != 1:
-        presorted = False  # joint sortedness only proven for one image
+    if presorted and len(imgs) > 2:
+        presorted = False  # joint sortedness only proven for one key
+    # nullable single key contributes (null-flag, value) images; in the
+    # presorted cases the flag is constant over unmasked rows (direct: no
+    # NULLs stored; equi: invalid rows are masked), so boundaries come from
+    # the VALUE image alone
 
     # every array the reductions need rides the sort as a payload operand:
     # one multi-operand lax.sort (~5-6x SOL) replaces a materialized
@@ -2266,7 +2291,7 @@ def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False):
         inm_s = in_mask
         simgs = imgs
         pay_s = payload
-        img = imgs[0]
+        img = imgs[-1]
         lo = jnp.iinfo(img.dtype).min
         # previous unmasked key via running max (img is nondecreasing on
         # unmasked rows); a masked row never opens a boundary
@@ -2486,8 +2511,12 @@ def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False):
             low = got_l[o[1]]
             fpos = (jx.int64(0xFFFFFFFF) - low).astype(jx.int32)
             # first-valid positions ascend with groups: monotone gather of
-            # the ORIGINAL payload (any width) at them; no-valid groups
-            # produce a clipped garbage row that cnt==0 turns into NULL
+            # the ORIGINAL payload (any width) at them. No-valid groups
+            # (low==0) read their group START row instead of a far-away
+            # clipped sentinel — keeps the windowed kernel's locality
+            # bound intact (bpos_g <= first-valid_g < bpos_{g+1}, so the
+            # substitution preserves monotonicity); cnt==0 NULLs them.
+            fpos = jx.where(low == jx.int64(0), bpos, fpos)
             return pgather.take_fast(pay_s[o[2]], fpos, monotone=True)
         hi, lo = got_l[o[1]], got_m1[o[2]]
         return hi - jx.where(bpos == 0, jx.zeros_like(lo), lo)
