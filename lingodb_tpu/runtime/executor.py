@@ -681,6 +681,17 @@ class Executor:
             if valid is not None:
                 arrays.append(valid)
             payloads.append((cid, c.type, valid is not None, c.dictionary))
+        from . import device as dv
+
+        if dv.get_mesh() is None:
+            # pin prep arrays on the device ONCE (they're cached with the
+            # prep): passing host numpy into the fused jit re-uploads the
+            # LUT + payloads on EVERY execution — ~25MB/run for Q3@SF1
+            # through a ~170MB/s tunnel. Mesh runs keep numpy (uncommitted
+            # arrays let GSPMD replicate them freely).
+            import jax as _jax
+
+            arrays = [_jax.device_put(a) for a in arrays]
         return {
             "kind": jop.kind,
             "probe_expr": probe_expr,
@@ -2302,12 +2313,28 @@ def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False):
         first_un = in_mask & (jx.cumsum(in_mask.astype(jx.int32)) == 1)
         boundary = in_mask & ((img > prev) | first_un)
     else:
-        sortops = [(~in_mask).astype(jx.int32)] + imgs + payload
         nk = 1 + len(imgs)
-        res = jax.lax.sort(sortops, num_keys=nk)
+        if n < pgather.SORT_ROUTE_MIN_N:
+            # mid-size groupings sort ONLY (mask, key images, iota) — each
+            # lax.sort operand costs ~8s of one-time remote compile, so the
+            # payloads do NOT ride the sort; they're fetched afterwards by
+            # the permutation with plain XLA takes (~19ns/elem: cheaper
+            # than the compile amortization at this size)
+            iota = jx.arange(n, dtype=jx.int32)
+            res = jax.lax.sort(
+                [(~in_mask).astype(jx.int32)] + imgs + [iota], num_keys=nk)
+            perm = res[-1]
+            pay_s = pgather.take_fast_multi(payload, perm)
+        else:
+            # at full fact-table scale every array rides the sort as a
+            # payload operand: one multi-operand lax.sort (~5-6x SOL)
+            # replaces a materialized permutation plus per-column random
+            # takes, which cost far more than the extra operands' compile
+            res = jax.lax.sort(
+                [(~in_mask).astype(jx.int32)] + imgs + payload, num_keys=nk)
+            pay_s = list(res[nk:])
         inm_s = res[0] == 0
         simgs = res[1:nk]
-        pay_s = res[nk:]
 
         boundary = jx.concatenate([jx.ones((1,), jx.bool_),
                                    jx.zeros((n - 1,), jx.bool_)])
