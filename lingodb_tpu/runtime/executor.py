@@ -1217,53 +1217,88 @@ class Executor:
         return VTable(out, 1)
 
     def _finish_fused_general(self, op, result, meta) -> VTable:
-        """Mode 'general' epilogue: fetch the group count (one scalar round
-        trip; the compaction survivor count rides along), slice the padded
-        device outputs to the next power of two with a cached static program,
-        fetch those, build host columns."""
+        """Mode 'general' epilogue: ONE small fetch (group count, compaction
+        survivor count, wide-sum overflow flag), then slice the padded
+        outputs to the exact group count ON DEVICE and build device-resident
+        columns. Group results never round-trip through the host: at TPC-H
+        scale the old fetch-everything finish moved 100+ MB per query
+        through a ~25 MB/s tunnel and the downstream operator re-uploaded it
+        (r4 profiling: q3's 2.3s runs were this, not compute)."""
         from . import device as dv
 
         off = 1 if meta.get("compact_k") else 0
-        scalars = dv.fetch_arrays_np({i: result[i] for i in range(off + 1)})
-        if off and int(scalars[0]) > meta["compact_k"]:
+        limb_slots = []  # (hi, lo) positions in result for wide sums
+        i = off + 1
+        for pos, cid in enumerate(op.group_by):
+            i += 1 + (1 if meta["key_templates"][pos][2] else 0)
+        for spec in op.aggs:
+            if spec.out.cid in meta.get("agg_limbs", ()):
+                limb_slots.append((i, i + 1))
+                i += 3
+            else:
+                i += 2
+        fetch = {str(i_): result[i_] for i_ in range(off + 1)}
+        if limb_slots:
+            # wide sums combine exactly into one int64 unless a group's
+            # high limb leaves the safe band; check on device, fetch the
+            # single flag WITH the scalars (no extra round trip). Padding
+            # tail rows carry gather garbage, so the check masks rows
+            # beyond the (device-side) group count.
+            nrows = result[off + 1].shape[0]
+            rows_ok = jnp.arange(nrows, dtype=jnp.int64) < result[off]
+            flag = jnp.zeros((), jnp.bool_)
+            for hi_s, _lo_s in limb_slots:
+                hi = result[hi_s]
+                bad = (jnp.abs(hi) >> jnp.int64(30)) > 0
+                flag = flag | jnp.any(bad & rows_ok)
+            fetch["limbflag"] = flag
+        scalars = dv.fetch_arrays_np(fetch)
+        if off and int(scalars["0"]) > meta["compact_k"]:
             raise _CompactOverflow()
-        g = int(scalars[off])
+        g = int(scalars[str(off)])
         if g == 0:
             return VTable({c.cid: _empty_scol(c.type) for c in op.output_cols()}, 0)
-        n = result[off + 1].shape[0]
-        g_pad = min(n, 1 << max(g - 1, 1).bit_length()) if g > 1 else 1
-        sliced = _slice_prefix(tuple(result[off + 1:]), g_pad)
-        host = dv.fetch_arrays_np({i: a for i, a in enumerate(sliced)})
+        limb_overflow = bool(np.asarray(scalars.get("limbflag", False)))
+        sliced = _slice_exact(tuple(result[off + 1:]), g)
 
-        def cpu_col(t, data_np, valid_np, dictionary=None):
-            return SCol(t, np.asarray(data_np),
-                        None if valid_np is None else np.asarray(valid_np),
-                        dictionary)
+        def dev_col(t, data, valid, dictionary=None):
+            return SCol(t, data, valid, dictionary)
 
         agg_cols: dict[int, SCol] = {}
         i = 0
         for pos, cid in enumerate(op.group_by):
             ktype, kdict, knull = meta["key_templates"][pos]
-            data = host[i][:g]
+            data = sliced[i]
             i += 1
             valid = None
             if knull:
-                valid = host[i][:g]
+                valid = sliced[i]
                 i += 1
-            agg_cols[cid] = cpu_col(ktype, data, valid, kdict)
+            agg_cols[cid] = dev_col(ktype, data, valid, kdict)
         for spec in op.aggs:
             if spec.out.cid in meta.get("agg_limbs", ()):
-                from ..ops import decwide
-
-                val = decwide.demote_if_possible(decwide.combine_limbs(
-                    host[i][:g], host[i + 1][:g]))
-                cnt = host[i + 2][:g]
+                hi, lo2, cnt = sliced[i], sliced[i + 1], sliced[i + 2]
                 i += 3
-            else:
-                val, cnt = host[i][:g], host[i + 1][:g]
-                i += 2
+                if limb_overflow:
+                    # pathological magnitude: exact host path (object ints)
+                    from ..ops import decwide
+
+                    h = dv.fetch_arrays_np({0: hi, 1: lo2, 2: cnt})
+                    val = decwide.demote_if_possible(
+                        decwide.combine_limbs(h[0], h[1]))
+                    agg_cols[spec.out.cid] = SCol(
+                        spec.out.type, val, np.asarray(h[2]) > 0,
+                        meta["agg_dicts"].get(spec.out.cid))
+                    continue
+                val = (hi << jnp.int64(32)) + lo2
+                agg_cols[spec.out.cid] = dev_col(
+                    spec.out.type, val, cnt > 0,
+                    meta["agg_dicts"].get(spec.out.cid))
+                continue
+            val, cnt = sliced[i], sliced[i + 1]
+            i += 2
             agg_cols[spec.out.cid] = self._finish_fused_agg(
-                spec, val, cnt, cpu_col, meta["agg_dicts"].get(spec.out.cid))
+                spec, val, cnt, dev_col, meta["agg_dicts"].get(spec.out.cid))
         out = {c.cid: agg_cols[c.cid] for c in op.group_cols}
         for spec in op.aggs:
             out[spec.out.cid] = agg_cols[spec.out.cid]
@@ -2237,6 +2272,14 @@ import functools
 @functools.partial(jax.jit, static_argnums=1)
 def _slice_prefix(arrays, g_pad: int):
     return tuple(a[:g_pad] for a in arrays)
+
+
+@functools.partial(jax.jit, static_argnames=("g",))
+def _slice_exact(arrays, g: int):
+    """ONE compiled program slicing every output lane to the exact group
+    count (per-(shapes, g) compile, cached persistently; per-column eager
+    slices would dispatch separately)."""
+    return tuple(a[:g] for a in arrays)
 
 
 def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False):
