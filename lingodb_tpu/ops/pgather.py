@@ -496,7 +496,8 @@ def _gs_wrows(C: int) -> int:
     return 512  # C <= 8 (callers batch larger groups)
 
 
-def gather_sorted_planes(tables, idx, d_chunks: int = 0, t_rows: int = 0):
+def gather_sorted_planes(tables, idx, d_chunks: int = 0, t_rows: int = 0,
+                         conservative: bool = False):
     """[t[idx] for t in tables] for equal-length 1-D int32 tables and
     monotone nondecreasing int32 idx, in ONE kernel call. Returns
     (values_list, overflow_count); overflow>0 means some index fell outside
@@ -505,10 +506,20 @@ def gather_sorted_planes(tables, idx, d_chunks: int = 0, t_rows: int = 0):
     d_chunks bounds the table span (in 1024-entry chunks) that 1024
     consecutive indices may cover; t_rows (idx rows per grid step) must keep
     t_rows*128*avg_gap under the 2x window. Pass 0 to derive both from a
-    density hint via pick_sorted_params."""
+    density hint via pick_sorted_params.
+
+    conservative=True parameterizes for UNKNOWN density: one vreg per grid
+    step and a deep (dynamic-trip) walk, safe for any average gap <= 128.
+    Callers use it for sentinel-padded position arrays (group boundaries),
+    whose true count the static density hint overestimates — with fast
+    params those overflow at runtime and the whole gather silently fell
+    back to XLA takes at 770x off memory bandwidth (r4 device traces)."""
     C = len(tables)
     wrows = _gs_wrows(C)
     s = int(tables[0].shape[0])
+    if conservative:
+        d_chunks = d_chunks or 512
+        t_rows = t_rows or 8
     dc_auto, tr_auto = pick_sorted_params(s, int(idx.shape[0]), wrows)
     d_chunks = d_chunks or dc_auto
     t_rows = t_rows or tr_auto
@@ -711,14 +722,16 @@ def _limbify(table):
 _MAX_PLANES = 8  # per kernel call: dual double-buffered windows in ~16MB VMEM
 
 
-def _planes_gather(planes, idx32, monotone: bool, s: int, n: int):
+def _planes_gather(planes, idx32, monotone: bool, s: int, n: int,
+                   conservative: bool = False):
     """Gather a group of <= _MAX_PLANES equal-length i32 planes with shared
     idx through whichever kernel wins; returns list of (n,) i32."""
     if s <= CHUNK_TABLE_LIMIT:
         return gather_chunked_planes(planes, idx32)
     dense = s / max(n, 1) <= MAX_SORTED_GAP
     if monotone and dense:
-        gs, ovf = gather_sorted_planes(planes, idx32)
+        gs, ovf = gather_sorted_planes(planes, idx32,
+                                       conservative=conservative)
         # density skew (ovf>0) falls back to XLA inside the program: cond
         # executes only one branch at runtime
         return list(jax.lax.cond(
@@ -745,7 +758,8 @@ def _planes_gather(planes, idx32, monotone: bool, s: int, n: int):
     return [jnp.take(t, idx32, mode="clip") for t in planes]
 
 
-def take_fast_multi(tables, idx, *, monotone: bool = False):
+def take_fast_multi(tables, idx, *, monotone: bool = False,
+                    conservative: bool = False):
     """[t[idx] for t in tables] with OOB clipped, for equal-length 1-D
     tables sharing one index array. Columns are limb-split to i32 planes and
     gathered in batched kernel calls (<= _MAX_PLANES planes each): ONE
@@ -773,15 +787,17 @@ def take_fast_multi(tables, idx, *, monotone: bool = False):
     outs = []
     for g0 in range(0, len(planes), _MAX_PLANES):
         outs.extend(_planes_gather(planes[g0:g0 + _MAX_PLANES], idx32,
-                                   monotone, s, n))
+                                   monotone, s, n, conservative))
     return [rb(outs[st:st + k]) for st, k, rb in rebuilds]
 
 
-def take_fast(table, idx, *, monotone: bool = False):
+def take_fast(table, idx, *, monotone: bool = False,
+              conservative: bool = False):
     """table[idx] with OOB clipped — a drop-in for jnp.take(mode='clip').
     See take_fast_multi; column groups should prefer the multi form so the
     gather kernels compile and run once per group."""
-    return take_fast_multi([table], idx, monotone=monotone)[0]
+    return take_fast_multi([table], idx, monotone=monotone,
+                           conservative=conservative)[0]
 
 
 def nonzero_positions(mask, k: int):

@@ -2533,25 +2533,35 @@ def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False):
         outs.append(cnt)
         meta["agg_dicts"][spec.out.cid] = arg.dictionary
 
-    got_b = pgather.take_fast_multi(g_bpos, bpos, monotone=True)
-    got_l = pgather.take_fast_multi(g_lpos, lpos, monotone=True)
+    # boundary positions are sentinel-padded to n (true group count is
+    # dynamic), so the static density hint would overshoot and the fast
+    # kernel parameterization overflowed at runtime — silently degrading to
+    # XLA takes at 770x SOL (measured r4: 480ms of a 566ms program).
+    # conservative=True sizes the walk for unknown density.
+    got_b = pgather.take_fast_multi(g_bpos, bpos, monotone=True,
+                                    conservative=True)
+    got_l = pgather.take_fast_multi(g_lpos, lpos, monotone=True,
+                                    conservative=True)
     got_m1 = pgather.take_fast_multi(g_bm1, jx.maximum(bpos - 1, 0),
-                                     monotone=True)
+                                     monotone=True, conservative=True)
 
     # second wave: 64-bit extrema tie-break — among rows achieving their
     # group's best HIGH limb (broadcast back through a monotone gid gather),
     # take the best LOW limb with one more packed cummax + lpos gather
-    g_lpos2: list = []
+    g_lpos2c: list = []
+    g_lpos2 = g_lpos2c
     mm64_slot: dict[int, int] = {}
     gid32 = gid64.astype(jx.int32)
     for o in outs:
         if isinstance(o, tuple) and o[0] == "minmax64" and id(o) not in mm64_slot:
             _tag, slot_hi, _fn, _dt, uhi, ulo, keep64 = o
-            hi_row = pgather.take_fast(got_l[slot_hi], gid32, monotone=True)
+            hi_row = pgather.take_fast(got_l[slot_hi], gid32, monotone=True,
+                                       conservative=True)
             trB = jx.where(keep64 & (uhi == hi_row), ulo, jx.int64(0))
             mm64_slot[id(o)] = len(g_lpos2)
             g_lpos2.append(_packed_cummax_low32(trB))
-    got_l2 = pgather.take_fast_multi(g_lpos2, lpos, monotone=True)
+    got_l2 = pgather.take_fast_multi(g_lpos2, lpos, monotone=True,
+                                     conservative=True)
 
     def resolve(o):
         if not isinstance(o, tuple):
@@ -2587,7 +2597,8 @@ def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False):
             # bound intact (bpos_g <= first-valid_g < bpos_{g+1}, so the
             # substitution preserves monotonicity); cnt==0 NULLs them.
             fpos = jx.where(low == jx.int64(0), bpos, fpos)
-            return pgather.take_fast(pay_s[o[2]], fpos, monotone=True)
+            return pgather.take_fast(pay_s[o[2]], fpos, monotone=True,
+                                     conservative=True)
         hi, lo = got_l[o[1]], got_m1[o[2]]
         return hi - jx.where(bpos == 0, jx.zeros_like(lo), lo)
 
