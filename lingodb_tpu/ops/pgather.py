@@ -721,6 +721,39 @@ def _limbify(table):
 
 _MAX_PLANES = 8  # per kernel call: dual double-buffered windows in ~16MB VMEM
 
+# When set (a list), windowed-gather overflow flags are APPENDED here instead
+# of guarded by an in-program lax.cond fallback. XLA conditionals COPY their
+# operands — ~150MB-class copies per guarded gather dominated the fused
+# programs (r4 device traces: 1.36s of q3's 1.59s was conditionals), even
+# when the fallback branch never ran. Fused pipelines trace under
+# collect_ovf(): the host checks the combined flag alongside the scalars it
+# already fetches and retries ONE non-Pallas variant on overflow.
+_OVF_SINK: list | None = None
+
+
+class collect_ovf:
+    """Trace-time context: route overflow flags to a sink (no cond)."""
+
+    def __enter__(self):
+        global _OVF_SINK
+        self._old = _OVF_SINK
+        _OVF_SINK = []
+        return _OVF_SINK
+
+    def __exit__(self, *a):
+        global _OVF_SINK
+        _OVF_SINK = self._old
+        return False
+
+
+def _guard_ovf(gs, ovf, planes, idx32):
+    if _OVF_SINK is not None:
+        _OVF_SINK.append(ovf)
+        return list(gs)
+    return list(jax.lax.cond(
+        ovf == 0, lambda: tuple(gs),
+        lambda: tuple(jnp.take(t, idx32, mode="clip") for t in planes)))
+
 
 def _planes_gather(planes, idx32, monotone: bool, s: int, n: int,
                    conservative: bool = False):
@@ -732,11 +765,7 @@ def _planes_gather(planes, idx32, monotone: bool, s: int, n: int,
     if monotone and dense:
         gs, ovf = gather_sorted_planes(planes, idx32,
                                        conservative=conservative)
-        # density skew (ovf>0) falls back to XLA inside the program: cond
-        # executes only one branch at runtime
-        return list(jax.lax.cond(
-            ovf == 0, lambda: tuple(gs),
-            lambda: tuple(jnp.take(t, idx32, mode="clip") for t in planes)))
+        return _guard_ovf(gs, ovf, planes, idx32)
     if dense and n >= SORT_ROUTE_MIN_N:
         # random big-table gather as sort + monotone windowed gather +
         # unsort. XLA's 1-D random gather costs ~8-26ns per index regardless
@@ -750,9 +779,7 @@ def _planes_gather(planes, idx32, monotone: bool, s: int, n: int,
         iota = jnp.arange(n, dtype=jnp.int32)
         sidx, perm = jax.lax.sort([idx32, iota], num_keys=1)
         gs, ovf = gather_sorted_planes(planes, sidx)
-        gs = list(jax.lax.cond(
-            ovf == 0, lambda: tuple(gs),
-            lambda: tuple(jnp.take(t, sidx, mode="clip") for t in planes)))
+        gs = _guard_ovf(gs, ovf, planes, sidx)
         outs = jax.lax.sort([perm] + gs, num_keys=1)
         return list(outs[1:])
     return [jnp.take(t, idx32, mode="clip") for t in planes]

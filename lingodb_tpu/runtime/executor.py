@@ -953,6 +953,13 @@ class Executor:
             meta = {"compact_k": compact_k}
 
             def fn(*arrs):
+                # windowed-gather overflow flags ride the outputs as ONE
+                # trailing lane instead of per-gather lax.cond fallbacks
+                # (conds copy their operands: 1.36s of q3's 1.59s program
+                # was conditional copies, r4 device traces). On overflow
+                # the finish raises and a non-Pallas variant re-runs once.
+                _ovf_ctx = pgather.collect_ovf()
+                _ovf_sink = _ovf_ctx.__enter__()
                 env = {}
                 i = 0
                 for cid, t in templates:
@@ -1035,9 +1042,12 @@ class Executor:
                             (c.type, c.dictionary, c.valid is not None)
                             for c in key_cols
                         ]
-                        return extra + _fused_general_group(
+                        res = extra + _fused_general_group(
                             op, key_cols, env, mask, cur_n, meta,
                             presorted=presorted_group)
+                        _ovf_ctx.__exit__(None, None, None)
+                        flag = sum(_ovf_sink) if _ovf_sink else jnp.int32(0)
+                        return res + (flag,)
                     radices = [gb.small_domain(c) for c in key_cols]
                 else:
                     gid = jnp.zeros((cur_n,), jnp.int32)
@@ -1104,12 +1114,29 @@ class Executor:
                 # the packed fetch stacks equal-shape lanes: emit the survivor
                 # count as a (domain,)-sized lane like every other output
                 extra = tuple(jnp.broadcast_to(e, (domain,)) for e in extra)
-                return extra + tuple(outs)
+                _ovf_ctx.__exit__(None, None, None)
+                flag = sum(_ovf_sink) if _ovf_sink else jnp.int32(0)
+                # (domain,)-shaped like every other lane: the packed fetch
+                # stacks equal shapes
+                return extra + tuple(outs) + (
+                    jnp.broadcast_to(flag, (domain,)),)
 
             try:
                 t_c0 = self._perf_sync()
                 jitted = jax.jit(fn)
-                result = jitted(*arrays)
+                nopallas = bool(cache.get(("fused_nopallas", key)))
+                if nopallas:
+                    # a previous run's windowed gathers overflowed (skewed
+                    # density): retrace with the Pallas kernels off — XLA
+                    # takes are slower but unconditional
+                    old_force = pgather.FORCE_PALLAS
+                    pgather.FORCE_PALLAS = False
+                    try:
+                        result = jitted(*arrays)
+                    finally:
+                        pgather.FORCE_PALLAS = old_force
+                else:
+                    result = jitted(*arrays)
                 # touch to force trace/compile errors now
                 cache[key] = (jitted, meta, [t for t in templates])
                 self._perf_note(
@@ -1136,6 +1163,8 @@ class Executor:
             # extraction and key decoding happen in host numpy, results live
             # on the CPU backend
             host = dv.fetch_arrays_np({i: a for i, a in enumerate(result)})
+            if int(np.asarray(host[len(result) - 1]).reshape(-1)[0]) > 0:
+                raise _GatherOverflow()
             off = 0
             if meta.get("compact_k"):
                 off = 1
@@ -1146,6 +1175,14 @@ class Executor:
             # the sample-estimated survivor bound was too small: permanently
             # disable compaction for this (plan, versions) key and rebuild
             cache[("fused_nocompact", key)] = True
+            del cache[key]
+            return self._try_fused_agg(op)
+        except _GatherOverflow:
+            # skewed density overran a windowed gather: permanently switch
+            # this (plan, versions) key to the non-Pallas variant and rerun
+            self._perf_note("fused_agg gather overflow: retrying without "
+                            "Pallas kernels")
+            cache[("fused_nopallas", key)] = True
             del cache[key]
             return self._try_fused_agg(op)
 
@@ -1238,6 +1275,7 @@ class Executor:
             else:
                 i += 2
         fetch = {str(i_): result[i_] for i_ in range(off + 1)}
+        fetch["govf"] = result[-1]  # windowed-gather overflow flag
         if limb_slots:
             # wide sums combine exactly into one int64 unless a group's
             # high limb leaves the safe band; check on device, fetch the
@@ -1253,13 +1291,15 @@ class Executor:
                 flag = flag | jnp.any(bad & rows_ok)
             fetch["limbflag"] = flag
         scalars = dv.fetch_arrays_np(fetch)
+        if int(np.asarray(scalars["govf"]).reshape(-1)[0]) > 0:
+            raise _GatherOverflow()
         if off and int(scalars["0"]) > meta["compact_k"]:
             raise _CompactOverflow()
         g = int(scalars[str(off)])
         if g == 0:
             return VTable({c.cid: _empty_scol(c.type) for c in op.output_cols()}, 0)
         limb_overflow = bool(np.asarray(scalars.get("limbflag", False)))
-        sliced = _slice_exact(tuple(result[off + 1:]), g)
+        sliced = _slice_exact(tuple(result[off + 1:-1]), g)
 
         def dev_col(t, data, valid, dictionary=None):
             return SCol(t, data, valid, dictionary)
@@ -2608,6 +2648,11 @@ def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False):
 class _CompactOverflow(Exception):
     """Raised when the compacted fused program's survivor count exceeded the
     sample-estimated static size; the caller rebuilds without compaction."""
+
+
+class _GatherOverflow(Exception):
+    """Raised when a windowed gather's overflow flag fired (skewed density);
+    the caller rebuilds the fused program without Pallas kernels."""
 
 
 def _fused_join_step(prep, args, env, mask, n):
