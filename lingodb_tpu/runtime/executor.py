@@ -1046,7 +1046,7 @@ class Executor:
                             op, key_cols, env, mask, cur_n, meta,
                             presorted=presorted_group)
                         _ovf_ctx.__exit__(None, None, None)
-                        flag = sum(_ovf_sink) if _ovf_sink else jnp.int32(0)
+                        flag = _ovf_bitmask(_ovf_sink)
                         return res + (flag,)
                     radices = [gb.small_domain(c) for c in key_cols]
                 else:
@@ -1115,7 +1115,7 @@ class Executor:
                 # count as a (domain,)-sized lane like every other output
                 extra = tuple(jnp.broadcast_to(e, (domain,)) for e in extra)
                 _ovf_ctx.__exit__(None, None, None)
-                flag = sum(_ovf_sink) if _ovf_sink else jnp.int32(0)
+                flag = _ovf_bitmask(_ovf_sink)
                 # (domain,)-shaped like every other lane: the packed fetch
                 # stacks equal shapes
                 return extra + tuple(outs) + (
@@ -1163,8 +1163,9 @@ class Executor:
             # extraction and key decoding happen in host numpy, results live
             # on the CPU backend
             host = dv.fetch_arrays_np({i: a for i, a in enumerate(result)})
-            if int(np.asarray(host[len(result) - 1]).reshape(-1)[0]) > 0:
-                raise _GatherOverflow()
+            _g = int(np.asarray(host[len(result) - 1]).reshape(-1)[0])
+            if _g > 0:
+                raise _GatherOverflow(_g)
             off = 0
             if meta.get("compact_k"):
                 off = 1
@@ -1177,11 +1178,12 @@ class Executor:
             cache[("fused_nocompact", key)] = True
             del cache[key]
             return self._try_fused_agg(op)
-        except _GatherOverflow:
+        except _GatherOverflow as ge:
             # skewed density overran a windowed gather: permanently switch
             # this (plan, versions) key to the non-Pallas variant and rerun
-            self._perf_note("fused_agg gather overflow: retrying without "
-                            "Pallas kernels")
+            self._perf_note(f"fused_agg gather overflow mask="
+                            f"{bin(ge.args[0] if ge.args else 0)}: retrying "
+                            f"without Pallas kernels")
             cache[("fused_nopallas", key)] = True
             del cache[key]
             return self._try_fused_agg(op)
@@ -1291,8 +1293,9 @@ class Executor:
                 flag = flag | jnp.any(bad & rows_ok)
             fetch["limbflag"] = flag
         scalars = dv.fetch_arrays_np(fetch)
-        if int(np.asarray(scalars["govf"]).reshape(-1)[0]) > 0:
-            raise _GatherOverflow()
+        govf = int(np.asarray(scalars["govf"]).reshape(-1)[0])
+        if govf > 0:
+            raise _GatherOverflow(govf)
         if off and int(scalars["0"]) > meta["compact_k"]:
             raise _CompactOverflow()
         g = int(scalars[str(off)])
@@ -2648,6 +2651,17 @@ def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False):
 class _CompactOverflow(Exception):
     """Raised when the compacted fused program's survivor count exceeded the
     sample-estimated static size; the caller rebuilds without compaction."""
+
+
+def _ovf_bitmask(sink):
+    """One bit per collected gather (call order): the finish prints the
+    mask so an overflow names the gather that caused it."""
+    if not sink:
+        return jnp.int32(0)
+    out = jnp.int32(0)
+    for k, o in enumerate(sink):
+        out = out | jnp.where(o > 0, jnp.int32(1 << min(k, 30)), jnp.int32(0))
+    return out
 
 
 class _GatherOverflow(Exception):
