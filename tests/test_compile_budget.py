@@ -1,0 +1,65 @@
+"""Compile-activity budget + PERF bytes-attribution regression tests.
+
+The reference compiles each query once in ~10 ms and never again
+(Execution.cpp warm context pools + ORC object cache). This build's
+equivalent contract: the SECOND execution of a query performs ZERO XLA
+backend compiles (everything rides the in-process + persistent caches),
+and PERF-mode byte accounting charges fused operators the base-table
+bytes their program actually scans (r3 VERDICT weak #5/#6)."""
+
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def tpch_session():
+    import lingodb_tpu as ldb
+    from lingodb_tpu.tools import tpchgen
+
+    s = ldb.create_in_memory()
+    tpchgen.load_into(s, sf=0.01)
+    return s
+
+
+QDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "queries", "tpch")
+
+
+@pytest.mark.parametrize("q", [1, 3, 6, 10, 18])
+def test_second_run_compiles_nothing(tpch_session, q):
+    from lingodb_tpu.utils import compilestats
+
+    sql = open(os.path.join(QDIR, f"{q}.sql")).read()
+    tpch_session.sql(sql)  # warm: compiles allowed
+    before = compilestats.snapshot()
+    tpch_session.sql(sql)
+    delta = compilestats.delta(before)
+    assert delta["compiles"] == 0, (
+        f"q{q}: {delta['compiles']} XLA compiles on a warm repeat "
+        f"({delta['compile_secs']:.1f}s) — the zero-recompile steady-state "
+        f"contract is broken")
+
+
+def test_perf_bytes_cover_fused_scans(tpch_session, capfd):
+    """q6 is one fused aggregate over 4 lineitem columns; its PERF bytes
+    must be at least the scanned base-table bytes (was: bytes=9)."""
+    from lingodb_tpu.utils.settings import set_setting
+
+    sql = open(os.path.join(QDIR, "6.sql")).read()
+    set_setting("system.execution_mode", "PERF")
+    try:
+        tpch_session.sql(sql)
+    finally:
+        set_setting("system.execution_mode", "DEFAULT")
+    err = capfd.readouterr().err
+    rows = tpch_session.catalog.get_table("lineitem").num_rows
+    agg_lines = [l for l in err.splitlines()
+                 if l.startswith("# perf Aggregate")]
+    assert agg_lines, err
+    nbytes = int(agg_lines[-1].split("bytes=")[1].split()[0])
+    # q6 scans l_shipdate(4) + l_discount(8) + l_quantity(8) +
+    # l_extendedprice(8) = 28 bytes/row minimum
+    assert nbytes >= rows * 28, (
+        f"fused Aggregate charged {nbytes} bytes for {rows} rows — "
+        f"fused-scan attribution regressed")
