@@ -194,7 +194,23 @@ class Session:
             with t.time("QOpt"):
                 plan = optimize(plan, self.catalog)
             with t.time("execution"):
-                res = self.executor.execute(plan)
+                try:
+                    res = self.executor.execute(plan)
+                except Exception as e:
+                    # HBM exhaustion mid-benchmark (SF10 working sets +
+                    # cached uploads + join preps exceed one chip's 16GB):
+                    # drop every cached device buffer and retry once.
+                    # Reference analogue: buffer-manager eviction under
+                    # memory pressure; our unit is whole cached columns.
+                    if "RESOURCE_EXHAUSTED" not in repr(e):
+                        raise
+                    import sys
+
+                    print("# device OOM: evicting cached buffers and "
+                          "retrying", file=sys.stderr)
+                    self._evict_device_memory()
+                    res = self.executor.execute(plan)
+            self._relieve_memory_pressure()
             if get_setting("sql.report_times"):
                 cs = compilestats.delta(cs0)
                 print(t.report()
@@ -378,6 +394,45 @@ class Session:
         entry.storage.append_rows(rows)
 
     # ----------------------------------------------------------- device data
+    def _evict_device_memory(self) -> None:
+        """Drop every cached device buffer this session pins: uploaded table
+        columns, join-prep arrays (LUTs + payloads), and one-shot
+        materializations. Everything is rebuildable; the next query
+        re-uploads what it actually touches."""
+        for t in _LazyDeviceTable._ALL:
+            t._cols.clear()
+        for k in [k for k in self.stage_cache
+                  if isinstance(k, tuple) and k and k[0] == "fused_prep"]:
+            del self.stage_cache[k]
+        self.executor._tmp_results.clear()
+        self.executor._materialized_bases.clear()
+        import gc
+
+        gc.collect()
+
+    def _relieve_memory_pressure(self) -> None:
+        """Proactive eviction when the accelerator sits near capacity after
+        a statement (cached SF10 uploads + preps approach the chip's HBM):
+        prevents the NEXT query's working set from hitting the allocator
+        wall mid-program."""
+        try:
+            from .runtime import device as dv
+
+            _cpu, accel = dv.devices()
+            stats = accel.memory_stats() if accel is not None else None
+            if not stats:
+                return
+            used = stats.get("bytes_in_use", 0)
+            limit = stats.get("bytes_limit", 0)
+            if limit and used > 0.8 * limit:
+                import sys
+
+                print(f"# device memory {used / 1e9:.1f}/{limit / 1e9:.1f}GB:"
+                      f" evicting cached buffers", file=sys.stderr)
+                self._evict_device_memory()
+        except Exception:
+            pass
+
     def device_table(self, name: str) -> dict:
         """Lazily upload (and cache) a table's columns as device tensors —
         columns transfer on first access, mirroring the reference's
