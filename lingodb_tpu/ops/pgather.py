@@ -515,11 +515,17 @@ def gather_sorted_planes(tables, idx, d_chunks: int = 0, t_rows: int = 0,
     params those overflow at runtime and the whole gather silently fell
     back to XLA takes at 770x off memory bandwidth (r4 device traces)."""
     C = len(tables)
-    wrows = _gs_wrows(C)
     s = int(tables[0].shape[0])
     if conservative:
+        # guarantee: tile span <= half the dual window regardless of
+        # alignment -> with 1024-entry tiles and wrows=1024 any average
+        # gap <= 128 cannot overflow (callers cap plane groups at 4 so the
+        # doubled window still fits VMEM)
+        wrows = 1024
         d_chunks = d_chunks or 512
         t_rows = t_rows or 8
+    else:
+        wrows = _gs_wrows(C)
     dc_auto, tr_auto = pick_sorted_params(s, int(idx.shape[0]), wrows)
     d_chunks = d_chunks or dc_auto
     t_rows = t_rows or tr_auto
@@ -569,8 +575,11 @@ def pick_sorted_params(table_n: int, idx_n: int, wrows: int = _GS_WROWS):
     gap = max(table_n / max(idx_n, 1), 0.25)
     d_chunks = int(min(max(4 * gap + 2, 4), 512))
     d_chunks = 1 << (d_chunks - 1).bit_length()  # pow2: dedupe compiles
-    span_cap = wrows * 128  # half the dual window
-    t_rows = int(span_cap / (gap * 128))
+    span_cap = wrows * 128  # half the dual window (alignment-safe budget)
+    # 2x headroom: LOCAL density routinely runs ~2x the global average
+    # (filtered fact columns); without it borderline tiles overflow and the
+    # whole gather silently degrades to the XLA fallback
+    t_rows = int(span_cap / (gap * 128) / 2)
     t_rows = max(min(t_rows, 256), 8)
     t_rows = 1 << (t_rows.bit_length() - 1)  # pow2 rows
     return d_chunks, t_rows
@@ -812,8 +821,9 @@ def take_fast_multi(tables, idx, *, monotone: bool = False,
         rebuilds.append((len(planes), len(limbs), rb))
         planes.extend(limbs)
     outs = []
-    for g0 in range(0, len(planes), _MAX_PLANES):
-        outs.extend(_planes_gather(planes[g0:g0 + _MAX_PLANES], idx32,
+    group = 4 if conservative else _MAX_PLANES  # wider windows need VMEM
+    for g0 in range(0, len(planes), group):
+        outs.extend(_planes_gather(planes[g0:g0 + group], idx32,
                                    monotone, s, n, conservative))
     return [rb(outs[st:st + k]) for st, k, rb in rebuilds]
 

@@ -996,8 +996,12 @@ class Executor:
                             fetch.append(c.data)
                             if c.valid is not None:
                                 fetch.append(c.valid)
+                        # compaction positions are sentinel-padded to the
+                        # estimated capacity: true survivor density is
+                        # unknown statically -> conservative walk
                         fetched = pgather.take_fast_multi(fetch, idx,
-                                                          monotone=True)
+                                                          monotone=True,
+                                                          conservative=True)
                         fi = 0
                         newenv = {}
                         for cid, c in env.items():
@@ -1580,11 +1584,21 @@ class Executor:
         tgt = (bkd - bmin).astype(jnp.int64)
         if bk.valid is not None:
             tgt = jnp.where(bk.valid, tgt, span)
-        if be.is_jax(tgt):
+        if be.is_jax(tgt) and span <= (1 << 22):
             import jax.numpy as jx
 
             lut = jx.full((span + 1,), -1, jx.int32)
             lut = lut.at[tgt].set(jx.arange(nr, dtype=jx.int32))[:span]
+        elif be.is_jax(tgt):
+            # big spans build on the HOST and upload once: the XLA device
+            # scatter serializes (~15s for a 60M-span LUT at SF10) while
+            # fetch(12MB) + numpy fill + upload(240MB) costs ~2s
+            import jax as _jax
+
+            t_np = np.asarray(_jax.device_get(tgt))
+            lut_np = np.full(span + 1, -1, np.int32)
+            lut_np[t_np] = np.arange(nr, dtype=np.int32)
+            lut = _jax.device_put(lut_np[:span])
         else:
             lut = np.full(span + 1, -1, np.int32)
             lut[np.asarray(tgt)] = np.arange(nr, dtype=np.int32)
