@@ -518,10 +518,11 @@ def gather_sorted_planes(tables, idx, d_chunks: int = 0, t_rows: int = 0,
     s = int(tables[0].shape[0])
     if conservative:
         # guarantee: tile span <= half the dual window regardless of
-        # alignment -> with 1024-entry tiles and wrows=1024 any average
-        # gap <= 128 cannot overflow (callers cap plane groups at 4 so the
-        # doubled window still fits VMEM)
-        wrows = 1024
+        # alignment -> with 1024-entry tiles and wrows=2048 any average
+        # LOCAL gap <= 256 cannot overflow (callers cap plane groups at 2
+        # so the widened double-buffered windows stay ~8MB of VMEM).
+        # Realistic ceiling: TPC-H Q3@SF10 groups every ~200th row.
+        wrows = 2048
         d_chunks = d_chunks or 512
         t_rows = t_rows or 8
     else:
@@ -738,6 +739,7 @@ _MAX_PLANES = 8  # per kernel call: dual double-buffered windows in ~16MB VMEM
 # collect_ovf(): the host checks the combined flag alongside the scalars it
 # already fetches and retries ONE non-Pallas variant on overflow.
 _OVF_SINK: list | None = None
+_OVF_DESC: list = []  # parallel descriptions (shapes/params) for diagnostics
 
 
 class collect_ovf:
@@ -747,6 +749,7 @@ class collect_ovf:
         global _OVF_SINK
         self._old = _OVF_SINK
         _OVF_SINK = []
+        _OVF_DESC.clear()
         return _OVF_SINK
 
     def __exit__(self, *a):
@@ -755,9 +758,12 @@ class collect_ovf:
         return False
 
 
-def _guard_ovf(gs, ovf, planes, idx32):
+def _guard_ovf(gs, ovf, planes, idx32, desc=""):
     if _OVF_SINK is not None:
         _OVF_SINK.append(ovf)
+        _OVF_DESC.append(
+            f"#{len(_OVF_SINK) - 1} C={len(planes)} s={planes[0].shape[0]} "
+            f"n={idx32.shape[0]} {desc}")
         return list(gs)
     return list(jax.lax.cond(
         ovf == 0, lambda: tuple(gs),
@@ -774,7 +780,8 @@ def _planes_gather(planes, idx32, monotone: bool, s: int, n: int,
     if monotone and dense:
         gs, ovf = gather_sorted_planes(planes, idx32,
                                        conservative=conservative)
-        return _guard_ovf(gs, ovf, planes, idx32)
+        return _guard_ovf(gs, ovf, planes, idx32,
+                          f"mono cons={conservative}")
     if dense and n >= SORT_ROUTE_MIN_N:
         # random big-table gather as sort + monotone windowed gather +
         # unsort. XLA's 1-D random gather costs ~8-26ns per index regardless
@@ -788,7 +795,7 @@ def _planes_gather(planes, idx32, monotone: bool, s: int, n: int,
         iota = jnp.arange(n, dtype=jnp.int32)
         sidx, perm = jax.lax.sort([idx32, iota], num_keys=1)
         gs, ovf = gather_sorted_planes(planes, sidx)
-        gs = _guard_ovf(gs, ovf, planes, sidx)
+        gs = _guard_ovf(gs, ovf, planes, sidx, "sortroute")
         outs = jax.lax.sort([perm] + gs, num_keys=1)
         return list(outs[1:])
     return [jnp.take(t, idx32, mode="clip") for t in planes]
@@ -821,7 +828,7 @@ def take_fast_multi(tables, idx, *, monotone: bool = False,
         rebuilds.append((len(planes), len(limbs), rb))
         planes.extend(limbs)
     outs = []
-    group = 4 if conservative else _MAX_PLANES  # wider windows need VMEM
+    group = 2 if conservative else _MAX_PLANES  # wider windows need VMEM
     for g0 in range(0, len(planes), group):
         outs.extend(_planes_gather(planes[g0:g0 + group], idx32,
                                    monotone, s, n, conservative))

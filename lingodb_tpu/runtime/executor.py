@@ -1147,6 +1147,8 @@ class Executor:
                     f"fused_agg compile+first-run "
                     f"{(self._perf_sync() - t_c0):.1f}s n={n} "
                     f"compact_k={compact_k} presorted={presorted_group}")
+                for d in pgather._OVF_DESC:
+                    self._perf_note(f"fused gather {d}")
             except Exception as fe:  # non-traceable (UDFs, host strings...)
                 self._perf_note(f"fused_agg DECLINED (trace/compile): "
                                 f"{type(fe).__name__}: {str(fe)[:160]}")
