@@ -1048,7 +1048,8 @@ class Executor:
                         ]
                         res = extra + _fused_general_group(
                             op, key_cols, env, mask, cur_n, meta,
-                            presorted=presorted_group)
+                            presorted=presorted_group,
+                            kg=cache.get(("fused_kg", key)))
                         _ovf_ctx.__exit__(None, None, None)
                         flag = _ovf_bitmask(_ovf_sink)
                         return res + (flag,)
@@ -1163,7 +1164,25 @@ class Executor:
 
         try:
             if meta.get("mode") == "general":
-                return self._finish_fused_general(op, result, meta)
+                out = self._finish_fused_general(op, result, meta)
+                g = meta.get("last_g")
+                if (g and meta.get("kg_default")
+                        and cache.get(("fused_kg", key)) is None):
+                    # calibration run done: learn a tight pow2 capacity
+                    # (4x headroom) and rebuild the program around it —
+                    # boundary gathers then run at GROUP scale
+                    from . import device as dv2
+
+                    tight = 1 << (max(4 * g, dv2.SMALL_ROWS) - 1).bit_length()
+                    n_full = meta.get("n", 0)
+                    if tight < n_full // 2:
+                        cache[("fused_kg", key)] = tight
+                        del cache[key]
+                        self._perf_note(f"fused_agg learned group capacity "
+                                        f"{tight} (g={g}); rebuilding tight")
+                    else:
+                        cache[("fused_kg", key)] = n_full  # dense grouping
+                return out
 
             # ONE packed transfer of all (domain,)-sized outputs; group-slot
             # extraction and key decoding happen in host numpy, results live
@@ -1183,6 +1202,14 @@ class Executor:
             # disable compaction for this (plan, versions) key and rebuild
             cache[("fused_nocompact", key)] = True
             del cache[key]
+            return self._try_fused_agg(op)
+        except _CapacityOverflow as ce:
+            # the learned capacity was outgrown (data changed): double it
+            g_real = ce.args[0]
+            cache[("fused_kg", key)] = 1 << (2 * g_real - 1).bit_length()
+            del cache[key]
+            self._perf_note(f"fused_agg group capacity exceeded (g={g_real});"
+                            f" rebuilding")
             return self._try_fused_agg(op)
         except _GatherOverflow as ge:
             # skewed density overran a windowed gather: permanently switch
@@ -1305,6 +1332,9 @@ class Executor:
         if off and int(scalars["0"]) > meta["compact_k"]:
             raise _CompactOverflow()
         g = int(scalars[str(off)])
+        meta["last_g"] = g
+        if g > meta.get("kg", g):
+            raise _CapacityOverflow(g)
         if g == 0:
             return VTable({c.cid: _empty_scol(c.type) for c in op.output_cols()}, 0)
         limb_overflow = bool(np.asarray(scalars.get("limbflag", False)))
@@ -2341,7 +2371,8 @@ def _slice_exact(arrays, g: int):
     return tuple(a[:g] for a in arrays)
 
 
-def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False):
+def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False,
+                         kg=None):
     """General (large-domain) grouping INSIDE the fused program: ONE
     multi-operand sort carries the key images AND every payload column
     (filtered-out rows pushed to the end), then each aggregate reduces with
@@ -2361,6 +2392,33 @@ def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False):
     This removes the ~20s+8s/operand remote sort compile AND the sort's
     runtime from the reduction: grouping becomes pure streaming."""
     import jax.numpy as jx
+
+    # kg: static GROUP-COUNT CAPACITY. First execution runs uncalibrated
+    # (kg=None -> kg=n) with overflow-proof XLA takes for the boundary
+    # gathers; the observed count then rebuilds the program with a tight
+    # pow2 capacity (adaptive execution — the runtime-feedback analogue of
+    # the reference's morsel-driven adaptivity). With a tight kg, sparse
+    # groupings (Q3@SF10: one group per ~530 rows; Q18's semi-narrowed 60
+    # groups) gather at the GROUP scale instead of the row scale, and the
+    # take-vs-windowed policy below can never overflow:
+    #   kg < SORT_ROUTE_MIN_N  -> plain takes (19ns/elem at group count)
+    #   kg >= SORT_ROUTE_MIN_N -> real groups >= kg/4 (capacity ladder),
+    #     so the position gap <= 4n/kg <= 256 for n <= 256M — within the
+    #     conservative windowed guarantee.
+    meta["kg_default"] = kg is None
+    kg = n if kg is None else min(kg, n)
+    meta["kg"] = kg
+    meta["n"] = n
+    take_mode = meta["kg_default"] or kg < pgather.SORT_ROUTE_MIN_N
+
+    def bgather(arrs, idx):
+        if not arrs:
+            return []
+        if take_mode:
+            ic = jx.clip(idx, 0, n - 1)
+            return [jx.take(a, ic, mode="clip") for a in arrs]
+        return pgather.take_fast_multi(arrs, idx, monotone=True,
+                                       conservative=True)
 
     in_mask = mask if mask is not None else jx.ones((n,), jx.bool_)
     imgs = [jx.broadcast_to(x, (n,)) for x in gb.keymod.grouping_images(key_cols)]
@@ -2450,8 +2508,8 @@ def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False):
     # the takes below). Masked-out rows sit at the end with no boundary, so
     # they extend the LAST group — every reduction masks them to zero or a
     # sentinel, so the extents stay correct.
-    _, bpos = pgather.nonzero_positions(boundary, n)
-    ar = jx.arange(n, dtype=jx.int32)
+    _, bpos = pgather.nonzero_positions(boundary, kg)
+    ar = jx.arange(kg, dtype=jx.int32)
     nxt = jx.concatenate([bpos[1:], jx.full((1,), n, jx.int32)])
     lpos = jx.where(ar < cnt32 - 1, nxt - 1, jx.int32(n - 1))
 
@@ -2597,12 +2655,9 @@ def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False):
     # kernel parameterization overflowed at runtime — silently degrading to
     # XLA takes at 770x SOL (measured r4: 480ms of a 566ms program).
     # conservative=True sizes the walk for unknown density.
-    got_b = pgather.take_fast_multi(g_bpos, bpos, monotone=True,
-                                    conservative=True)
-    got_l = pgather.take_fast_multi(g_lpos, lpos, monotone=True,
-                                    conservative=True)
-    got_m1 = pgather.take_fast_multi(g_bm1, jx.maximum(bpos - 1, 0),
-                                     monotone=True, conservative=True)
+    got_b = bgather(g_bpos, bpos)
+    got_l = bgather(g_lpos, lpos)
+    got_m1 = bgather(g_bm1, jx.maximum(bpos - 1, 0))
 
     # second wave: 64-bit extrema tie-break — among rows achieving their
     # group's best HIGH limb (broadcast back through a monotone gid gather),
@@ -2614,13 +2669,13 @@ def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False):
     for o in outs:
         if isinstance(o, tuple) and o[0] == "minmax64" and id(o) not in mm64_slot:
             _tag, slot_hi, _fn, _dt, uhi, ulo, keep64 = o
-            hi_row = pgather.take_fast(got_l[slot_hi], gid32, monotone=True,
-                                       conservative=True)
+            # per-row broadcast of the (kg,)-sized group results: genuinely
+            # monotone gid with gap <= 1 — the fast windowed/chunked path
+            hi_row = pgather.take_fast(got_l[slot_hi], gid32, monotone=True)
             trB = jx.where(keep64 & (uhi == hi_row), ulo, jx.int64(0))
             mm64_slot[id(o)] = len(g_lpos2)
             g_lpos2.append(_packed_cummax_low32(trB))
-    got_l2 = pgather.take_fast_multi(g_lpos2, lpos, monotone=True,
-                                     conservative=True)
+    got_l2 = bgather(g_lpos2, lpos)
 
     def resolve(o):
         if not isinstance(o, tuple):
@@ -2656,8 +2711,7 @@ def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False):
             # bound intact (bpos_g <= first-valid_g < bpos_{g+1}, so the
             # substitution preserves monotonicity); cnt==0 NULLs them.
             fpos = jx.where(low == jx.int64(0), bpos, fpos)
-            return pgather.take_fast(pay_s[o[2]], fpos, monotone=True,
-                                     conservative=True)
+            return bgather([pay_s[o[2]]], fpos)[0]
         hi, lo = got_l[o[1]], got_m1[o[2]]
         return hi - jx.where(bpos == 0, jx.zeros_like(lo), lo)
 
@@ -2683,6 +2737,11 @@ def _ovf_bitmask(sink):
 class _GatherOverflow(Exception):
     """Raised when a windowed gather's overflow flag fired (skewed density);
     the caller rebuilds the fused program without Pallas kernels."""
+
+
+class _CapacityOverflow(Exception):
+    """Raised when the true group count exceeded the learned static group
+    capacity; the caller doubles the capacity and rebuilds."""
 
 
 def _fused_join_step(prep, args, env, mask, n):
