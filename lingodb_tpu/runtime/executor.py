@@ -1163,26 +1163,21 @@ class Executor:
         from . import device as dv
 
         try:
-            if meta.get("mode") == "general":
-                out = self._finish_fused_general(op, result, meta)
-                g = meta.get("last_g")
-                if (g and meta.get("kg_default")
-                        and cache.get(("fused_kg", key)) is None):
-                    # calibration run done: learn a tight pow2 capacity
-                    # (4x headroom) and rebuild the program around it —
-                    # boundary gathers then run at GROUP scale
-                    from . import device as dv2
+            if meta.get("mode") == "general" and meta.get("calibrating"):
+                # count-only calibration program: learn the capacity and
+                # rebuild the full program around it (runs ONCE per
+                # plan+versions; the capacity persists in the stage cache)
+                import jax as _jax
 
-                    tight = 1 << (max(4 * g, dv2.SMALL_ROWS) - 1).bit_length()
-                    n_full = meta.get("n", 0)
-                    if tight < n_full // 2:
-                        cache[("fused_kg", key)] = tight
-                        del cache[key]
-                        self._perf_note(f"fused_agg learned group capacity "
-                                        f"{tight} (g={g}); rebuilding tight")
-                    else:
-                        cache[("fused_kg", key)] = n_full  # dense grouping
-                return out
+                g = int(np.asarray(_jax.device_get(result[-2])).reshape(-1)[0])
+                tight = 1 << (max(4 * g, dv.SMALL_ROWS) - 1).bit_length()
+                cache[("fused_kg", key)] = min(tight, meta.get("n", tight))
+                del cache[key]
+                self._perf_note(f"fused_agg calibrated group capacity "
+                                f"{cache[('fused_kg', key)]} (g={g})")
+                return self._try_fused_agg(op)
+            if meta.get("mode") == "general":
+                return self._finish_fused_general(op, result, meta)
 
             # ONE packed transfer of all (domain,)-sized outputs; group-slot
             # extraction and key decoding happen in host numpy, results live
@@ -2405,11 +2400,11 @@ def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False,
     #   kg >= SORT_ROUTE_MIN_N -> real groups >= kg/4 (capacity ladder),
     #     so the position gap <= 4n/kg <= 256 for n <= 256M — within the
     #     conservative windowed guarantee.
-    meta["kg_default"] = kg is None
+    meta["calibrating"] = kg is None
     kg = n if kg is None else min(kg, n)
     meta["kg"] = kg
     meta["n"] = n
-    take_mode = meta["kg_default"] or kg < pgather.SORT_ROUTE_MIN_N
+    take_mode = kg < pgather.SORT_ROUTE_MIN_N
 
     def bgather(arrs, idx):
         if not arrs:
@@ -2503,6 +2498,10 @@ def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False,
                 [jx.ones((1,), jx.bool_), s_[1:] != s_[:-1]])
         boundary = boundary & inm_s
     num_groups = jx.sum(boundary.astype(jx.int64))
+    if meta["calibrating"]:
+        # count-only program: the executor reads g, learns the capacity,
+        # and rebuilds the full program around it
+        return (num_groups,)
     cnt32 = num_groups.astype(jx.int32)
     # group-start positions, compacted (monotone; padding tail clipped by
     # the takes below). Masked-out rows sit at the end with no boundary, so
