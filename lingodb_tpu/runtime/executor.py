@@ -1130,18 +1130,30 @@ class Executor:
                 t_c0 = self._perf_sync()
                 jitted = jax.jit(fn)
                 nopallas = bool(cache.get(("fused_nopallas", key)))
-                if nopallas:
-                    # a previous run's windowed gathers overflowed (skewed
-                    # density): retrace with the Pallas kernels off — XLA
-                    # takes are slower but unconditional
-                    old_force = pgather.FORCE_PALLAS
-                    pgather.FORCE_PALLAS = False
-                    try:
-                        result = jitted(*arrays)
-                    finally:
-                        pgather.FORCE_PALLAS = old_force
-                else:
-                    result = jitted(*arrays)
+
+                def _first_run():
+                    if nopallas:
+                        # a previous run's windowed gathers overflowed
+                        # (skewed density): retrace without Pallas kernels
+                        old_force = pgather.FORCE_PALLAS
+                        pgather.FORCE_PALLAS = False
+                        try:
+                            return jitted(*arrays)
+                        finally:
+                            pgather.FORCE_PALLAS = old_force
+                    return jitted(*arrays)
+
+                try:
+                    result = _first_run()
+                except Exception as ce:
+                    # the remote compile helper occasionally dies (SIGSEGV /
+                    # HTTP 500) under memory pressure from big-shape
+                    # compiles; one clean retry usually succeeds
+                    if "remote_compile" not in repr(ce):
+                        raise
+                    self._perf_note("fused_agg remote compile died; "
+                                    "retrying once")
+                    result = _first_run()
                 # touch to force trace/compile errors now
                 cache[key] = (jitted, meta, [t for t in templates])
                 self._perf_note(
@@ -2461,11 +2473,11 @@ def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False,
         lo = jnp.iinfo(img.dtype).min
         # previous unmasked key via running max (img is nondecreasing on
         # unmasked rows); a masked row never opens a boundary
-        pm = jax.lax.cummax(jx.where(in_mask, img, lo))
+        pm = _cummax1d(jx.where(in_mask, img, lo))
         prev = jx.concatenate([jx.full((1,), lo, img.dtype), pm[:-1]])
         # first unmasked row always opens a group (img > INT_MIN fails only
         # in the img == INT_MIN corner, so guard it explicitly)
-        first_un = in_mask & (jx.cumsum(in_mask.astype(jx.int32)) == 1)
+        first_un = in_mask & (_cumsum1d(in_mask.astype(jx.int32)) == 1)
         boundary = in_mask & ((img > prev) | first_un)
     else:
         nk = 1 + len(imgs)
@@ -2528,7 +2540,7 @@ def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False,
     def gsum(v):
         """Per-group sum of a sorted, already-masked column via prefix sums
         + boundary-difference (groups are contiguous and non-empty)."""
-        cs = jx.cumsum(v, axis=0)
+        cs = _cumsum1d(v)
         return ("sum", defer(g_lpos, cs), defer(g_bm1, cs))
 
     # segmented extrema WITHOUT lax.associative_scan (a custom combine at
@@ -2538,13 +2550,13 @@ def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False,
     # running max's low 32 bits are exactly that group's best transform —
     # earlier groups pack strictly lower (their gid dominates the high
     # bits) and can never win. jnp.cumsum/cummax compile in seconds.
-    gid64 = jx.cumsum(boundary.astype(jx.int64)) - 1
+    gid64 = _cumsum1d(boundary.astype(jx.int64)) - 1
     gid64 = jx.maximum(gid64, 0)
     pos64 = jx.arange(n, dtype=jx.int64)
 
     def _packed_cummax_low32(tr):
         """low 32 bits of the running packed max, at group-last rows."""
-        cm = jax.lax.cummax((gid64 << 32) | tr)
+        cm = _cummax1d((gid64 << 32) | tr)
         return cm & jx.int64(0xFFFFFFFF)
 
     def gminmax(v, fn, keep):
@@ -2715,6 +2727,49 @@ def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False,
         return hi - jx.where(bpos == 0, jx.zeros_like(lo), lo)
 
     return tuple(resolve(o) for o in outs)
+
+
+def _cumsum1d(v):
+    """Hierarchical prefix sum: cumsum within 1024-wide rows + recursive
+    cumsum of row totals. XLA's FLAT 1-D cumsum lowering at 60M int64 takes
+    ~70s of remote compile and five of them in one program crash the
+    compile helper (SIGSEGV); the hierarchical form compiles in seconds and
+    runs ~2 passes over the data. Exact for integer dtypes."""
+    import jax.numpy as jx
+
+    n = v.shape[0]
+    if n <= 4096:
+        return jx.cumsum(v)
+    B = 1024
+    pad = (-n) % B
+    vp = jx.concatenate([v, jx.zeros((pad,), v.dtype)]) if pad else v
+    v2 = vp.reshape(-1, B)
+    within = jx.cumsum(v2, axis=1)
+    tot = _cumsum1d(within[:, -1])
+    offs = jx.concatenate([jx.zeros((1,), v.dtype), tot[:-1]])
+    return (within + offs[:, None]).reshape(-1)[:n]
+
+
+def _cummax1d(v):
+    """Hierarchical running max (same compile-cost story as _cumsum1d)."""
+    import jax.numpy as jx
+
+    n = v.shape[0]
+    if n <= 4096:
+        return jax.lax.cummax(v)
+    B = 1024
+    pad = (-n) % B
+    if pad:
+        fill = jx.full((pad,), v[-1], v.dtype)
+        vp = jx.concatenate([v, fill])
+    else:
+        vp = v
+    v2 = vp.reshape(-1, B)
+    within = jax.lax.cummax(v2, axis=1)
+    tot = _cummax1d(within[:, -1])
+    lo = jx.full((1,), jx.iinfo(v.dtype).min, v.dtype)
+    offs = jx.concatenate([lo, tot[:-1]])
+    return jx.maximum(within, offs[:, None]).reshape(-1)[:n]
 
 
 class _CompactOverflow(Exception):
