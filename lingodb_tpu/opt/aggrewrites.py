@@ -176,6 +176,86 @@ def eager_fact_preagg(plan: L.LogicalOp, catalog) -> L.LogicalOp:
                     out = max(out, e.num_rows)
         return out
 
+    def attempt(op, j, pushed_map, fact, dims):
+        """Try the rewrite with `fact` as the aggregate-argument side and
+        `dims` as the group-key side (the join may come in either
+        orientation from the join-order pass)."""
+        fcids = {c.cid for c in fact.output_cols()}
+        dcids = {c.cid for c in dims.output_cols()}
+        if pushed_map is not None:
+            # the Map must read only fact-side columns (it computes the
+            # aggregate arguments); its outputs count as fact columns
+            for _ci, e in pushed_map.computed:
+                if E.used_cols(e) - fcids:
+                    return None
+            fcids = fcids | {ci.cid for ci, _e in pushed_map.computed}
+        eqs = []
+        for c in E.conjuncts(j.predicate):
+            if (isinstance(c, Call) and c.op == "eq"
+                    and isinstance(c.args[0], ColRef)
+                    and isinstance(c.args[1], ColRef)):
+                a, b = c.args[0].cid, c.args[1].cid
+                if a in fcids and b in dcids:
+                    eqs.append((c.args[0], c.args[1]))
+                    continue
+                if b in fcids and a in dcids:
+                    eqs.append((c.args[1], c.args[0]))
+                    continue
+            return None  # residual predicate: bail (pushdown ran already)
+        if len(eqs) != 1:
+            return None
+        fk, dk = eqs[0]
+        if not set(op.group_by) <= dcids:
+            return None
+        # split: fact-side aggregates get pushed; any_value over dimension
+        # columns (FD-recovered group payloads) stays in the outer level —
+        # dimension columns pass through the rebuilt join unchanged
+        push_specs, keep_specs = [], []
+        for a in op.aggs:
+            if a.distinct:
+                return None
+            if (a.fn == "any_value" and a.arg is not None
+                    and a.arg in dcids):
+                keep_specs.append(a)
+                continue
+            if a.fn not in _PUSHABLE:
+                return None
+            if a.arg is None and a.fn != "count_star":
+                return None
+            if a.arg is not None and a.arg not in fcids:
+                return None
+            push_specs.append(a)
+        if not push_specs:
+            return None
+        fds = collect_fds(dims, catalog)
+        if fds.key is None or not fds.key <= fds.expand({dk.cid}):
+            return None  # dims not unique on the join key
+        # worth it only when the fact side dwarfs the dimension side —
+        # otherwise the extra aggregation level just adds a pass
+        if sub_rows(fact) < 2 * sub_rows(dims):
+            return None
+
+        fk_info = next((c for c in fact.output_cols() if c.cid == fk.cid),
+                       None)
+        if fk_info is None:
+            return None
+        f_in = fact
+        if pushed_map is not None:
+            f_in = L.Map(f_in, list(pushed_map.computed))
+        inner_aggs, outer_aggs = [], []
+        lifted = {"sum": "sum", "count": "sum", "count_star": "sum",
+                  "min": "min", "max": "max"}
+        for a in push_specs:
+            ic = cids.fresh(a.out.name, a.out.type)
+            inner_aggs.append(L.AggSpec(ic, a.fn, a.arg))
+            outer_aggs.append(L.AggSpec(a.out, lifted[a.fn], ic.cid))
+        outer_aggs.extend(keep_specs)
+        inner = L.Aggregate(f_in, [fk.cid], inner_aggs, [fk_info])
+        njoin = L.Join("inner", inner, dims,
+                       Call("eq", [ColRef(fk.cid, fk_info.type), dk],
+                            Type.bool_(True)))
+        return L.Aggregate(njoin, op.group_by, outer_aggs, op.group_cols)
+
     def rec(op: L.LogicalOp) -> L.LogicalOp:
         kids = op.children()
         if kids:
@@ -190,81 +270,12 @@ def eager_fact_preagg(plan: L.LogicalOp, catalog) -> L.LogicalOp:
             return op
         if getattr(j, "null_aware", None) is not None:
             return op
-        lcids = {c.cid for c in j.left.output_cols()}
-        rcids = {c.cid for c in j.right.output_cols()}
-        if pushed_map is not None:
-            # the Map must read only fact-side columns (it computes the
-            # aggregate arguments); its outputs count as fact columns
-            for _ci, e in pushed_map.computed:
-                if E.used_cols(e) - lcids:
-                    return op
-            lcids = lcids | {ci.cid for ci, _e in pushed_map.computed}
-        eqs = []
-        for c in E.conjuncts(j.predicate):
-            if (isinstance(c, Call) and c.op == "eq"
-                    and isinstance(c.args[0], ColRef)
-                    and isinstance(c.args[1], ColRef)):
-                a, b = c.args[0].cid, c.args[1].cid
-                if a in lcids and b in rcids:
-                    eqs.append((c.args[0], c.args[1]))
-                    continue
-                if b in lcids and a in rcids:
-                    eqs.append((c.args[1], c.args[0]))
-                    continue
-            return op  # residual predicate: bail (pushdown ran already)
-        if len(eqs) != 1:
-            return op
-        lk, rk = eqs[0]
-        if not set(op.group_by) <= rcids:
-            return op
-        # split: fact-side aggregates get pushed; any_value over dimension
-        # columns (FD-recovered group payloads) stays in the outer level —
-        # dimension columns pass through the rebuilt join unchanged
-        push_specs, keep_specs = [], []
-        for a in op.aggs:
-            if a.distinct:
-                return op
-            if (a.fn == "any_value" and a.arg is not None
-                    and a.arg in rcids):
-                keep_specs.append(a)
-                continue
-            if a.fn not in _PUSHABLE:
-                return op
-            if a.arg is None and a.fn != "count_star":
-                return op
-            if a.arg is not None and a.arg not in lcids:
-                return op
-            push_specs.append(a)
-        if not push_specs:
-            return op
-        fds = collect_fds(j.right, catalog)
-        if fds.key is None or not fds.key <= fds.expand({rk.cid}):
-            return op  # R not unique on the join key
-        # worth it only when the fact side dwarfs the dimension side —
-        # otherwise the extra aggregation level just adds a pass
-        if sub_rows(j.left) < 2 * sub_rows(j.right):
-            return op
-
-        lk_info = next((c for c in j.left.output_cols() if c.cid == lk.cid),
-                       None)
-        if lk_info is None:
-            return op
-        l_in = j.left
-        if pushed_map is not None:
-            l_in = L.Map(l_in, list(pushed_map.computed))
-        inner_aggs, outer_aggs = [], []
-        lifted = {"sum": "sum", "count": "sum", "count_star": "sum",
-                  "min": "min", "max": "max"}
-        for a in push_specs:
-            ic = cids.fresh(a.out.name, a.out.type)
-            inner_aggs.append(L.AggSpec(ic, a.fn, a.arg))
-            outer_aggs.append(L.AggSpec(a.out, lifted[a.fn], ic.cid))
-        outer_aggs.extend(keep_specs)
-        inner = L.Aggregate(l_in, [lk.cid], inner_aggs, [lk_info])
-        njoin = L.Join("inner", inner, j.right,
-                       Call("eq", [ColRef(lk.cid, lk_info.type), rk],
-                            Type.bool_(True)))
-        return L.Aggregate(njoin, op.group_by, outer_aggs, op.group_cols)
+        # the join-order pass may leave the fact spine on EITHER side
+        for fact, dims in ((j.left, j.right), (j.right, j.left)):
+            out = attempt(op, j, pushed_map, fact, dims)
+            if out is not None:
+                return out
+        return op
 
     return rec(plan)
 
