@@ -251,6 +251,11 @@ def eager_fact_preagg(plan: L.LogicalOp, catalog) -> L.LogicalOp:
             outer_aggs.append(L.AggSpec(a.out, lifted[a.fn], ic.cid))
         outer_aggs.extend(keep_specs)
         inner = L.Aggregate(f_in, [fk.cid], inner_aggs, [fk_info])
+        # cascade: the new inner aggregate may itself sit over a star join
+        # (Q10: group by custkey over (lineitem x orders) x customer —
+        # the first application pre-aggregates by o_custkey, the second
+        # pushes down to the clustered l_orderkey level)
+        inner = rec(inner)
         njoin = L.Join("inner", inner, dims,
                        Call("eq", [ColRef(fk.cid, fk_info.type), dk],
                             Type.bool_(True)))

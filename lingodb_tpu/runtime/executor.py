@@ -654,7 +654,7 @@ class Executor:
             # binary-search rounds of 60M-row gathers (measured 18.3s -> the
             # probe gather alone). Spend the <=256MB int32 table (cached per
             # plan+version) whenever fill >= 1/64.
-            if span <= (1 << 26) and len(skeys) >= (span >> 6):
+            if span <= (1 << 26) and len(skeys) >= (span >> 7):
                 cap = 1 << 26
             if span <= cap and span <= (1 << 26):
                 lut = np.full(span, -1, np.int32)
@@ -1618,7 +1618,7 @@ class Executor:
         if n_valid == 0:
             return None
         span = bmax - bmin + 1
-        if span > (1 << 26) or (span > 8 * nr and n_valid < (span >> 6)):
+        if span > (1 << 26) or (span > 8 * nr and n_valid < (span >> 7)):
             return None
         tgt = (bkd - bmin).astype(jnp.int64)
         if bk.valid is not None:
