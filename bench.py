@@ -54,9 +54,10 @@ CONFIGS = {
     "all22_sf10": (10.0, list(range(1, 23))),
 }
 # cheapest-first so a budget/timeout cut still lands the ladder's core;
-# q3 (historically the worst warmup) runs after q10/q18, all22 last
-MATRIX = ["q1_sf1", "q6_sf10", "q14_sf10", "q10_sf10", "q18_sf10",
-          "q3_sf10", "all22_sf1"]
+# q10/q18 (heaviest warmups: multi-level aggregation rebuilds) run after
+# q3, all22 last
+MATRIX = ["q1_sf1", "q6_sf10", "q14_sf10", "q3_sf10", "q10_sf10",
+          "q18_sf10", "all22_sf1"]
 
 
 def _budget_left() -> float:

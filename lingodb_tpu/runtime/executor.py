@@ -834,6 +834,15 @@ class Executor:
         cache = self.session.stage_cache
         if cache.get(key) == "eager":
             return None
+        if ("fused_kg", key) not in cache:
+            # learned group capacities persist beside the XLA compile
+            # cache: a fresh process skips the calibration program AND the
+            # capacity rebuild (utils/capstore.py)
+            from ..utils import capstore
+
+            stored = capstore.get(repr(key))
+            if stored:
+                cache[("fused_kg", key)] = stored
 
         # prepare dimension builds (eager, small) + validate join shapes.
         # Preps are cached with the compiled entry: the cache key covers every
@@ -1185,6 +1194,9 @@ class Executor:
                 tight = 1 << (max(4 * g, dv.SMALL_ROWS) - 1).bit_length()
                 cache[("fused_kg", key)] = min(tight, meta.get("n", tight))
                 del cache[key]
+                from ..utils import capstore
+
+                capstore.put(repr(key), cache[("fused_kg", key)])
                 self._perf_note(f"fused_agg calibrated group capacity "
                                 f"{cache[('fused_kg', key)]} (g={g})")
                 return self._try_fused_agg(op)
@@ -1214,6 +1226,9 @@ class Executor:
             # the learned capacity was outgrown (data changed): double it
             g_real = ce.args[0]
             cache[("fused_kg", key)] = 1 << (2 * g_real - 1).bit_length()
+            from ..utils import capstore
+
+            capstore.put(repr(key), cache[("fused_kg", key)])
             del cache[key]
             self._perf_note(f"fused_agg group capacity exceeded (g={g_real});"
                             f" rebuilding")
