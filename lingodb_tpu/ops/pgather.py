@@ -210,7 +210,11 @@ def gather_chunked_planes(tables, idx):
     idx_flat = idx.reshape(-1)
     idx_flat = jnp.clip(idx_flat, 0, s - 1)
     n = idx_flat.shape[0]
-    t_rows = 512
+    # the unrolled chunk loop keeps ~chunks x (t_rows,128) broadcast
+    # temporaries live; scale the tile down for big tables so the scoped
+    # VMEM stack stays under the 16MB limit (measured: 128 chunks x 512
+    # rows = 30.9MB -> kernel OOM at compile)
+    t_rows = 512 if s_pad <= 8192 else 128
     tile = t_rows * 128
     n_pad = -(-n // tile) * tile
     if n_pad != n:
