@@ -840,7 +840,7 @@ class Executor:
             # capacity rebuild (utils/capstore.py)
             from ..utils import capstore
 
-            stored = capstore.get(repr(key))
+            stored = capstore.get(repr((key, n)))
             if stored:
                 cache[("fused_kg", key)] = stored
 
@@ -1196,7 +1196,7 @@ class Executor:
                 del cache[key]
                 from ..utils import capstore
 
-                capstore.put(repr(key), cache[("fused_kg", key)])
+                capstore.put(repr((key, n)), cache[("fused_kg", key)])
                 self._perf_note(f"fused_agg calibrated group capacity "
                                 f"{cache[('fused_kg', key)]} (g={g})")
                 return self._try_fused_agg(op)
@@ -1228,7 +1228,7 @@ class Executor:
             cache[("fused_kg", key)] = 1 << (2 * g_real - 1).bit_length()
             from ..utils import capstore
 
-            capstore.put(repr(key), cache[("fused_kg", key)])
+            capstore.put(repr((key, n)), cache[("fused_kg", key)])
             del cache[key]
             self._perf_note(f"fused_agg group capacity exceeded (g={g_real});"
                             f" rebuilding")
