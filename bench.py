@@ -98,12 +98,25 @@ def _bytes_touched(session, sql: str) -> int:
     stmts = parse_sql(sql)
     plan = optimize(Binder(session.catalog).bind_query(stmts[-1]), session.catalog)
     total = 0
-    for op in L.walk_plan(plan):
-        if isinstance(op, L.Scan):
-            e = session.catalog.get_table(op.table)
-            rows = e.storage.num_rows if e is not None else 0
-            for c in op.cols:
-                total += rows * np.dtype(jnp_dtype(c.type)).itemsize
+    seen_holders = set()
+
+    def visit(root):
+        nonlocal total
+        for op in L.walk_plan(root):
+            if isinstance(op, L.Tmp):
+                # Tmp presents as a leaf (children()==[]): scans behind
+                # CSE/Tmp materializations would otherwise report bytes=0
+                # (r4 verdict weak #7 — q11 recorded sol_ratio=None)
+                if id(op.holder) not in seen_holders:
+                    seen_holders.add(id(op.holder))
+                    visit(op.holder.plan)
+            elif isinstance(op, L.Scan):
+                e = session.catalog.get_table(op.table)
+                rows = e.storage.num_rows if e is not None else 0
+                for c in op.cols:
+                    total += rows * np.dtype(jnp_dtype(c.type)).itemsize
+
+    visit(plan)
     return total
 
 

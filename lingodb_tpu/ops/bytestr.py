@@ -29,16 +29,27 @@ DEVICE_DICT_MIN = 1 << 14
 # dictionary keeps ids stable; bounded to the working set of one query.
 _PLANE_CACHE: dict[int, tuple] = {}
 
+# (id(dictionary), pattern, ci) -> concrete device mask. Device LIKE masks
+# depend only on the dictionary + pattern, so one eager evaluation serves
+# every trace that uses the pair.
+_MASK_CACHE: dict[tuple, tuple] = {}
+
 
 def _planes(dictionary: np.ndarray):
     """(bytes2d (D, Lpad) uint8 device, lens (D,) int32 device, ascii_only,
     exact). Built once per dictionary object; exact=False flags embedded
     NUL bytes (S-dtype trims them — the planes are then truncated and
-    device matching must fall back to the host path)."""
+    device matching must fall back to the host path).
+
+    The device arrays are materialized under jax.ensure_compile_time_eval():
+    _planes is routinely first-hit while an outer fused program is being
+    traced, and caching tracer-backed arrays poisons every later query
+    that shares the dictionary (the r4 all-22 q13 UnexpectedTracerError)."""
     key = id(dictionary)
     hit = _PLANE_CACHE.get(key)
     if hit is not None and hit[0] is dictionary:
         return hit[1]
+    import jax
     import jax.numpy as jnp
 
     enc = np.char.encode(dictionary.astype(str), "utf-8")
@@ -49,16 +60,19 @@ def _planes(dictionary: np.ndarray):
     view = enc.astype(f"S{lpad}").view(np.uint8).reshape(len(enc), lpad)
     buf[:] = view
     ascii_only = bool(buf.max(initial=0) < 128)
-    # embedded NUL detection: S-dtype trims trailing \x00 and
-    # np.char.str_len stops at the first NUL, so 'a\x00' would silently
-    # match as 'a' on the device while the host LUT path sees the real
-    # string. True byte lengths come from the encoded object strings; any
-    # mismatch marks the planes inexact and device_like_mask falls back.
+    # Embedded/trailing NUL detection: S-dtype element access trims trailing
+    # \x00 (so both np.char.str_len(enc) and len(enc[i]) under-count), and
+    # 'a\x00' would silently match as 'a' on the device while the host path
+    # sees the real 2-byte string. True byte lengths must come from the
+    # ORIGINAL strings, before any S-dtype conversion.
     exact = True
     if lens.size:
-        true_lens = np.fromiter((len(s) for s in enc), np.int32, len(enc))
+        true_lens = np.fromiter(
+            (len(str(x).encode("utf-8")) for x in dictionary),
+            np.int32, len(dictionary))
         exact = bool(np.array_equal(true_lens, lens))
-    out = (jnp.asarray(buf), jnp.asarray(lens), ascii_only, exact)
+    with jax.ensure_compile_time_eval():
+        out = (jnp.asarray(buf), jnp.asarray(lens), ascii_only, exact)
     if len(_PLANE_CACHE) >= 8:
         # evict the single oldest entry (insertion-ordered dict): each entry
         # pins a (D, Lpad) uint8 device plane — clearing everything would
@@ -111,7 +125,25 @@ def _fold(x):
 def device_like_mask(dictionary: np.ndarray, pattern: str,
                      case_insensitive: bool = False):
     """Per-dictionary-entry LIKE mask computed on the device, or None when
-    the pattern/data needs the host path. Returns a jax bool (D,) array."""
+    the pattern/data needs the host path. Returns a jax bool (D,) array.
+
+    Always evaluates EAGERLY (jax.ensure_compile_time_eval) and caches the
+    concrete mask per (dictionary, pattern, ci): when first hit inside the
+    tracing of a fused program, the mask enters that program as a constant
+    instead of re-deriving (and leaking) per-trace intermediates."""
+    ck = (id(dictionary), pattern, case_insensitive)
+    hit = _MASK_CACHE.get(ck)
+    if hit is not None and hit[0] is dictionary:
+        return hit[1]
+    mask = _device_like_mask_uncached(dictionary, pattern, case_insensitive)
+    if len(_MASK_CACHE) >= 64:
+        _MASK_CACHE.pop(next(iter(_MASK_CACHE)))
+    _MASK_CACHE[ck] = (dictionary, mask)
+    return mask
+
+
+def _device_like_mask_uncached(dictionary: np.ndarray, pattern: str,
+                               case_insensitive: bool = False):
     try:
         pattern.encode("ascii")
     except UnicodeEncodeError:
@@ -129,7 +161,8 @@ def device_like_mask(dictionary: np.ndarray, pattern: str,
     d, lpad = b2d.shape
     mmax = max((len(s) for s in segments), default=0)
     if mmax > lpad:
-        return jnp.zeros((d,), jnp.bool_)
+        with jax.ensure_compile_time_eval():
+            return jnp.zeros((d,), jnp.bool_)
 
     @jax.jit
     def run(b2d, lens):
@@ -176,7 +209,8 @@ def device_like_mask(dictionary: np.ndarray, pattern: str,
                 cur = p + m
         return ok
 
-    return run(b2d, lens)
+    with jax.ensure_compile_time_eval():
+        return run(b2d, lens)
 
 
 def device_length(dictionary: np.ndarray):
@@ -184,8 +218,10 @@ def device_length(dictionary: np.ndarray):
     b2d, lens, ascii_only, exact = _planes(dictionary)
     if ascii_only and exact:
         return lens
+    import jax
     import jax.numpy as jnp
 
     # utf-8 continuation bytes (0b10xxxxxx) don't start a codepoint
-    cont = (b2d & 0xC0) == 0x80
-    return lens - jnp.sum(cont.astype(jnp.int32), axis=1)
+    with jax.ensure_compile_time_eval():
+        cont = (b2d & 0xC0) == 0x80
+        return lens - jnp.sum(cont.astype(jnp.int32), axis=1)

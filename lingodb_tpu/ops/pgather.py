@@ -752,13 +752,20 @@ class collect_ovf:
     def __enter__(self):
         global _OVF_SINK
         self._old = _OVF_SINK
+        self._entered = True
         _OVF_SINK = []
         _OVF_DESC.clear()
         return _OVF_SINK
 
     def __exit__(self, *a):
+        # idempotent: callers exit explicitly before computing the combined
+        # flag AND from a finally block (so a trace-time exception — the
+        # expected DECLINED path — cannot leave the sink installed and
+        # silently disable the eager gathers' lax.cond fallback)
         global _OVF_SINK
-        _OVF_SINK = self._old
+        if getattr(self, "_entered", False):
+            _OVF_SINK = self._old
+            self._entered = False
         return False
 
 

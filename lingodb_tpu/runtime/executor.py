@@ -969,171 +969,176 @@ class Executor:
                 # the finish raises and a non-Pallas variant re-runs once.
                 _ovf_ctx = pgather.collect_ovf()
                 _ovf_sink = _ovf_ctx.__enter__()
-                env = {}
-                i = 0
-                for cid, t in templates:
-                    data = arrs[i]
-                    i += 1
-                    valid = None
-                    if t.valid is not None:
-                        valid = arrs[i]
+                try:
+                    env = {}
+                    i = 0
+                    for cid, t in templates:
+                        data = arrs[i]
                         i += 1
-                    env[cid] = SCol(t.type, data, valid, t.dictionary)
-                mask = arrs[i] if pad_mask is not None else None
-                if mask is not None:
-                    i += 1
-                for r in base_restrictions:
-                    m = sc.truth_mask(sc.eval_expr(r, env))
-                    mask = m if mask is None else mask & m
-                cur_n = n
-                extra = ()
-                for si, step in enumerate(steps):
-                    if (compact_k is not None and si == lead
-                            and mask is not None and mask.ndim != 0):
-                        # survivor positions via the Pallas streaming
-                        # compaction kernel on the chip (ops/pgather.py);
-                        # positions are monotone, so the per-column fetch
-                        # uses the windowed sorted-gather kernel
-                        sel_count, idx = pgather.nonzero_positions(
-                            mask, compact_k)
-                        # ONE batched kernel call fetches every surviving
-                        # column (amortizes the Mosaic compile + index walk)
-                        fetch = []
-                        for cid, c in env.items():
-                            if cid not in used_after or c.data.ndim == 0:
-                                continue
-                            fetch.append(c.data)
-                            if c.valid is not None:
-                                fetch.append(c.valid)
-                        # compaction positions are sentinel-padded to the
-                        # estimated capacity: true survivor density is
-                        # unknown statically -> conservative walk
-                        fetched = pgather.take_fast_multi(fetch, idx,
-                                                          monotone=True,
-                                                          conservative=True)
-                        fi = 0
-                        newenv = {}
-                        for cid, c in env.items():
-                            if cid not in used_after or c.data.ndim == 0:
-                                newenv[cid] = c
-                                continue
-                            data = fetched[fi]
-                            fi += 1
-                            valid = None
-                            if c.valid is not None:
-                                valid = fetched[fi]
-                                fi += 1
-                            newenv[cid] = SCol(c.type, data, valid,
-                                               c.dictionary)
-                        env = newenv
-                        mask = jnp.arange(compact_k, dtype=jnp.int64) < sel_count
-                        cur_n = compact_k
-                        extra = (sel_count,)
-                    if step[0] == "sm" and isinstance(step[1], L.Select):
-                        m = sc.truth_mask(sc.eval_expr(step[1].predicate, env))
+                        valid = None
+                        if t.valid is not None:
+                            valid = arrs[i]
+                            i += 1
+                        env[cid] = SCol(t.type, data, valid, t.dictionary)
+                    mask = arrs[i] if pad_mask is not None else None
+                    if mask is not None:
+                        i += 1
+                    for r in base_restrictions:
+                        m = sc.truth_mask(sc.eval_expr(r, env))
                         mask = m if mask is None else mask & m
-                    elif step[0] == "sm":
-                        for info, e in step[1].computed:
-                            env[info.cid] = sc.eval_expr(e, env)
+                    cur_n = n
+                    extra = ()
+                    for si, step in enumerate(steps):
+                        if (compact_k is not None and si == lead
+                                and mask is not None and mask.ndim != 0):
+                            # survivor positions via the Pallas streaming
+                            # compaction kernel on the chip (ops/pgather.py);
+                            # positions are monotone, so the per-column fetch
+                            # uses the windowed sorted-gather kernel
+                            sel_count, idx = pgather.nonzero_positions(
+                                mask, compact_k)
+                            # ONE batched kernel call fetches every surviving
+                            # column (amortizes the Mosaic compile + index walk)
+                            fetch = []
+                            for cid, c in env.items():
+                                if cid not in used_after or c.data.ndim == 0:
+                                    continue
+                                fetch.append(c.data)
+                                if c.valid is not None:
+                                    fetch.append(c.valid)
+                            # compaction positions are sentinel-padded to the
+                            # estimated capacity: true survivor density is
+                            # unknown statically -> conservative walk
+                            fetched = pgather.take_fast_multi(fetch, idx,
+                                                              monotone=True,
+                                                              conservative=True)
+                            fi = 0
+                            newenv = {}
+                            for cid, c in env.items():
+                                if cid not in used_after or c.data.ndim == 0:
+                                    newenv[cid] = c
+                                    continue
+                                data = fetched[fi]
+                                fi += 1
+                                valid = None
+                                if c.valid is not None:
+                                    valid = fetched[fi]
+                                    fi += 1
+                                newenv[cid] = SCol(c.type, data, valid,
+                                                   c.dictionary)
+                            env = newenv
+                            mask = jnp.arange(compact_k, dtype=jnp.int64) < sel_count
+                            cur_n = compact_k
+                            extra = (sel_count,)
+                        if step[0] == "sm" and isinstance(step[1], L.Select):
+                            m = sc.truth_mask(sc.eval_expr(step[1].predicate, env))
+                            mask = m if mask is None else mask & m
+                        elif step[0] == "sm":
+                            for info, e in step[1].computed:
+                                env[info.cid] = sc.eval_expr(e, env)
+                        else:
+                            prep = join_preps[si]
+                            nargs = len(prep["arrays"])
+                            mask = _fused_join_step(
+                                prep, arrs[i:i + nargs], env, mask, cur_n)
+                            i += nargs
+                    if not extra:
+                        meta["compact_k"] = None
+                    if mask is not None and mask.ndim == 0:
+                        mask = jnp.broadcast_to(mask, (cur_n,))
+                    if op.group_by:
+                        key_cols = [env[c] for c in op.group_by]
+                        key_cols = [sc._bcast(c, cur_n) for c in key_cols]
+                        gid, domain = gb.dense_gid(key_cols)
+                        if gid is None:
+                            meta["mode"] = "general"
+                            meta["key_templates"] = [
+                                (c.type, c.dictionary, c.valid is not None)
+                                for c in key_cols
+                            ]
+                            res = extra + _fused_general_group(
+                                op, key_cols, env, mask, cur_n, meta,
+                                presorted=presorted_group,
+                                kg=cache.get(("fused_kg", key)))
+                            _ovf_ctx.__exit__(None, None, None)
+                            flag = _ovf_bitmask(_ovf_sink)
+                            return res + (flag,)
+                        radices = [gb.small_domain(c) for c in key_cols]
                     else:
-                        prep = join_preps[si]
-                        nargs = len(prep["arrays"])
-                        mask = _fused_join_step(
-                            prep, arrs[i:i + nargs], env, mask, cur_n)
-                        i += nargs
-                if not extra:
-                    meta["compact_k"] = None
-                if mask is not None and mask.ndim == 0:
-                    mask = jnp.broadcast_to(mask, (cur_n,))
-                if op.group_by:
-                    key_cols = [env[c] for c in op.group_by]
-                    key_cols = [sc._bcast(c, cur_n) for c in key_cols]
-                    gid, domain = gb.dense_gid(key_cols)
-                    if gid is None:
-                        meta["mode"] = "general"
-                        meta["key_templates"] = [
-                            (c.type, c.dictionary, c.valid is not None)
-                            for c in key_cols
-                        ]
-                        res = extra + _fused_general_group(
-                            op, key_cols, env, mask, cur_n, meta,
-                            presorted=presorted_group,
-                            kg=cache.get(("fused_kg", key)))
-                        _ovf_ctx.__exit__(None, None, None)
-                        flag = _ovf_bitmask(_ovf_sink)
-                        return res + (flag,)
-                    radices = [gb.small_domain(c) for c in key_cols]
-                else:
-                    gid = jnp.zeros((cur_n,), jnp.int32)
-                    domain, radices = 1, []
-                meta["mode"] = "dense"
-                meta["domain"], meta["radices"] = domain, radices
-                meta["key_templates"] = [
-                    (env[c].type, env[c].dictionary, env[c].valid is not None)
-                    for c in op.group_by
-                ]
+                        gid = jnp.zeros((cur_n,), jnp.int32)
+                        domain, radices = 1, []
+                    meta["mode"] = "dense"
+                    meta["domain"], meta["radices"] = domain, radices
+                    meta["key_templates"] = [
+                        (env[c].type, env[c].dictionary, env[c].valid is not None)
+                        for c in op.group_by
+                    ]
 
-                def msum(w):
-                    wm = w if mask is None else jnp.where(mask, w, jnp.zeros_like(w))
-                    return be.segment_sum(wm, gid, num_segments=domain)
+                    def msum(w):
+                        wm = w if mask is None else jnp.where(mask, w, jnp.zeros_like(w))
+                        return be.segment_sum(wm, gid, num_segments=domain)
 
-                ones = jnp.ones((cur_n,), jnp.int64)
-                present = msum(ones)
-                outs = [present]
-                meta["agg_dicts"] = {}
-                meta["agg_limbs"] = set()
-                for spec in op.aggs:
-                    arg = None if spec.arg is None else env[spec.arg]
-                    if spec.fn == "count_star":
-                        outs.append(present)
-                        outs.append(present)
-                        continue
-                    avalid = arg.valid
-                    vm = ones if avalid is None else avalid.astype(jnp.int64)
-                    cnt = msum(vm)
-                    if spec.fn == "count":
-                        outs.append(cnt)
-                        outs.append(cnt)
-                        continue
-                    if spec.fn == "sum":
-                        data = arg.data.astype(jnp_dtype(spec.out.type))
-                        if avalid is not None:
-                            data = jnp.where(avalid, data, jnp.zeros_like(data))
-                        if (spec.out.type.kind == K.DECIMAL
-                                and dec_is_wide(spec.out.type)
-                                and data.dtype == jnp.int64):
-                            # exact i128-style sum: 32-bit-split accumulators
-                            # (lo in [0,2^32), hi signed), recombined with
-                            # Python ints on the host (ops/decwide.py)
-                            meta["agg_limbs"].add(spec.out.cid)
-                            lo = data & jnp.int64(0xFFFFFFFF)
-                            hi = data >> jnp.int64(32)
-                            outs.append(msum(hi))
-                            outs.append(msum(lo))
+                    ones = jnp.ones((cur_n,), jnp.int64)
+                    present = msum(ones)
+                    outs = [present]
+                    meta["agg_dicts"] = {}
+                    meta["agg_limbs"] = set()
+                    for spec in op.aggs:
+                        arg = None if spec.arg is None else env[spec.arg]
+                        if spec.fn == "count_star":
+                            outs.append(present)
+                            outs.append(present)
+                            continue
+                        avalid = arg.valid
+                        vm = ones if avalid is None else avalid.astype(jnp.int64)
+                        cnt = msum(vm)
+                        if spec.fn == "count":
+                            outs.append(cnt)
                             outs.append(cnt)
                             continue
-                        outs.append(msum(data))
+                        if spec.fn == "sum":
+                            data = arg.data.astype(jnp_dtype(spec.out.type))
+                            if avalid is not None:
+                                data = jnp.where(avalid, data, jnp.zeros_like(data))
+                            if (spec.out.type.kind == K.DECIMAL
+                                    and dec_is_wide(spec.out.type)
+                                    and data.dtype == jnp.int64):
+                                # exact i128-style sum: 32-bit-split accumulators
+                                # (lo in [0,2^32), hi signed), recombined with
+                                # Python ints on the host (ops/decwide.py)
+                                meta["agg_limbs"].add(spec.out.cid)
+                                lo = data & jnp.int64(0xFFFFFFFF)
+                                hi = data >> jnp.int64(32)
+                                outs.append(msum(hi))
+                                outs.append(msum(lo))
+                                outs.append(cnt)
+                                continue
+                            outs.append(msum(data))
+                            outs.append(cnt)
+                            continue
+                        # min / max with full masking
+                        sentinel = gb._extreme(arg.data.dtype, maximum=(spec.fn == "min"))
+                        keep = mask if avalid is None else (
+                            avalid if mask is None else (mask & avalid))
+                        data = arg.data if keep is None else jnp.where(keep, arg.data, sentinel)
+                        red = (be.segment_min if spec.fn == "min" else be.segment_max)(
+                            data, gid, num_segments=domain)
+                        meta["agg_dicts"][spec.out.cid] = arg.dictionary
+                        outs.append(red)
                         outs.append(cnt)
-                        continue
-                    # min / max with full masking
-                    sentinel = gb._extreme(arg.data.dtype, maximum=(spec.fn == "min"))
-                    keep = mask if avalid is None else (
-                        avalid if mask is None else (mask & avalid))
-                    data = arg.data if keep is None else jnp.where(keep, arg.data, sentinel)
-                    red = (be.segment_min if spec.fn == "min" else be.segment_max)(
-                        data, gid, num_segments=domain)
-                    meta["agg_dicts"][spec.out.cid] = arg.dictionary
-                    outs.append(red)
-                    outs.append(cnt)
-                # the packed fetch stacks equal-shape lanes: emit the survivor
-                # count as a (domain,)-sized lane like every other output
-                extra = tuple(jnp.broadcast_to(e, (domain,)) for e in extra)
-                _ovf_ctx.__exit__(None, None, None)
-                flag = _ovf_bitmask(_ovf_sink)
-                # (domain,)-shaped like every other lane: the packed fetch
-                # stacks equal shapes
-                return extra + tuple(outs) + (
-                    jnp.broadcast_to(flag, (domain,)),)
+                    # the packed fetch stacks equal-shape lanes: emit the survivor
+                    # count as a (domain,)-sized lane like every other output
+                    extra = tuple(jnp.broadcast_to(e, (domain,)) for e in extra)
+                    _ovf_ctx.__exit__(None, None, None)
+                    flag = _ovf_bitmask(_ovf_sink)
+                    # (domain,)-shaped like every other lane: the packed fetch
+                    # stacks equal shapes
+                    return extra + tuple(outs) + (
+                        jnp.broadcast_to(flag, (domain,)),)
+                finally:
+                    # idempotent (already exited on the return paths);
+                    # guarantees the sink never outlives a failed trace
+                    _ovf_ctx.__exit__(None, None, None)
 
             try:
                 t_c0 = self._perf_sync()
@@ -2587,7 +2592,10 @@ def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False,
             if dt == jx.float32:
                 b = jax.lax.bitcast_convert_type(v, jx.int32)
                 u = b ^ jx.where(b >= 0, jx.int32(-(1 << 31)), jx.int32(-1))
-                img = u.astype(jx.int64) + jx.int64(1 << 31)
+                # the XORed bits are an UNSIGNED order image: mask to the low
+                # 32 bits (sign-extending + shifting put every negative float
+                # above every positive one — r4 advisor finding)
+                img = u.astype(jx.int64) & jx.int64(0xFFFFFFFF)
             else:
                 img = v.astype(jx.int64) + jx.int64(1 << 31)
             if fn == "min":
@@ -2712,13 +2720,14 @@ def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False,
             low = got_l[o[1]]
             if o[2] == "min":
                 low = jx.int64((1 << 32) - 1) - low
-            u = low - jx.int64(1 << 31)
             if o[3] == jx.float32:
-                u32 = u.astype(jx.int32)
+                # unsigned image: the wrapping int64->int32 cast recovers the
+                # XORed bit pattern directly (no +/- 2^31 bias on floats)
+                u32 = low.astype(jx.int32)
                 b = u32 ^ jx.where(u32 < 0, jx.int32(-(1 << 31)),
                                    jx.int32(-1))
                 return jax.lax.bitcast_convert_type(b, jx.float32)
-            return u.astype(o[3])
+            return (low - jx.int64(1 << 31)).astype(o[3])
         if o[0] == "minmax64":
             u = (got_l[o[1]] << 32) | got_l2[mm64_slot[id(o)]]
             if o[2] == "min":

@@ -62,6 +62,17 @@ def put(key: str, kg: int) -> None:
         if not p:
             return
         try:
+            # re-read + merge: concurrent sessions sharing one cache dir
+            # write different keys; a stale in-memory snapshot must not
+            # discard their calibrations (ours wins only on key conflicts)
+            if os.path.exists(p):
+                try:
+                    disk = json.load(open(p))
+                    disk.update(d)
+                    d.clear()
+                    d.update(disk)
+                except (OSError, ValueError):
+                    pass
             os.makedirs(os.path.dirname(p), exist_ok=True)
             tmp = p + f".tmp{os.getpid()}"
             with open(tmp, "w") as f:

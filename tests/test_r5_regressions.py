@@ -1,0 +1,153 @@
+"""Round-5 regression tests for shipping-path bugs found in the round-4
+review (VERDICT.md weak #1, ADVICE.md high #1/#2, low #3/#4):
+
+1. Device byte-plane LIKE evaluated INSIDE a fused program trace must not
+   cache tracer-backed planes (q13 crashed the all-22 run with
+   UnexpectedTracerError on its second execution).
+2. float32 MIN/MAX in the fused general grouping must order mixed-sign
+   values correctly (the sign-flip image was interpreted as signed int32).
+3. Trailing-NUL strings must mark the byte planes inexact (S-dtype trims
+   trailing \x00, so 'a\x00' would silently device-match as 'a').
+4. A trace-time exception inside the fused program must not leave
+   pgather._OVF_SINK installed (it would disable the eager gathers'
+   overflow fallback for the rest of the process).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+QDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "queries", "tpch")
+
+
+@pytest.fixture(scope="module")
+def tiny_tpch():
+    import lingodb_tpu as ldb
+    from lingodb_tpu.ops import bytestr
+    from lingodb_tpu.runtime import device as dv
+    from lingodb_tpu.tools import tpchgen
+
+    old_small, old_min = dv.SMALL_ROWS, bytestr.DEVICE_DICT_MIN
+    dv.SMALL_ROWS = 64
+    bytestr.DEVICE_DICT_MIN = 64
+    s = ldb.create_in_memory()
+    tpchgen.load_into(s, sf=0.005)
+    yield s
+    dv.SMALL_ROWS = old_small
+    bytestr.DEVICE_DICT_MIN = old_min
+
+
+@pytest.mark.parametrize("q", [13, 9])
+def test_device_like_inside_fused_trace_runs_twice(q, tiny_tpch):
+    """The r4 all-22 crash: the SECOND run of a LIKE query whose dictionary
+    crossed DEVICE_DICT_MIN hit cached tracer-backed byte planes."""
+    s = tiny_tpch
+    sql = open(os.path.join(QDIR, f"{q}.sql")).read()
+    r1 = s.sql(sql).format_rows()
+    r2 = s.sql(sql).format_rows()
+    assert r1 == r2
+
+
+def test_fused_general_group_float32_mixed_sign_minmax(session):
+    from lingodb_tpu.runtime import device as dv
+    import lingodb_tpu.runtime.executor as ex
+
+    old = dv.SMALL_ROWS
+    dv.SMALL_ROWS = 16
+    try:
+        s = session
+        s.sql_stmt("CREATE TABLE fx (k BIGINT NOT NULL, v FLOAT)")
+        rng = np.random.default_rng(7)
+        keys = (rng.integers(0, 40, 400) * 1_000_000_007 + 13).tolist()
+        vals = np.round(rng.normal(0.0, 5.0, 400), 3)  # mixed sign
+        rows = ", ".join(f"({k}, {v})" for k, v in zip(keys, vals))
+        s.sql_stmt(f"INSERT INTO fx VALUES {rows}")
+
+        called = []
+        orig = ex._fused_general_group
+
+        def spy(*a, **kw):
+            called.append(True)
+            return orig(*a, **kw)
+
+        ex._fused_general_group = spy
+        try:
+            got = s.sql("SELECT k, MIN(v), MAX(v) FROM fx GROUP BY k "
+                        "ORDER BY k").to_pandas()
+        finally:
+            ex._fused_general_group = orig
+
+        import collections
+        mn = collections.defaultdict(lambda: np.inf)
+        mx = collections.defaultdict(lambda: -np.inf)
+        for k, v in zip(keys, np.float32(vals)):
+            mn[k] = min(mn[k], v)
+            mx[k] = max(mx[k], v)
+        want = sorted(mn)
+        assert list(got.iloc[:, 0]) == want
+        np.testing.assert_allclose(got.iloc[:, 1], [mn[k] for k in want],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(got.iloc[:, 2], [mx[k] for k in want],
+                                   rtol=1e-6)
+        assert called, "fused general grouping did not engage"
+    finally:
+        dv.SMALL_ROWS = old
+
+
+def test_planes_trailing_nul_marked_inexact():
+    from lingodb_tpu.ops import bytestr
+
+    d = np.array(["a\x00", "ab", "a"], dtype=object)
+    _b2d, _lens, _ascii, exact = bytestr._planes(d)
+    assert exact is False
+    assert bytestr.device_like_mask(d, "a") is None  # host fallback
+
+
+def test_planes_cache_holds_concrete_arrays_under_trace():
+    import jax
+
+    from lingodb_tpu.ops import bytestr
+
+    d = np.array([f"w{i:05d}" for i in range(200)], dtype=object)
+
+    @jax.jit
+    def prog(x):
+        m = bytestr.device_like_mask(d, "w0000_")
+        return x + m.sum()
+
+    prog(0)
+    # cached planes and mask must be reusable outside the trace
+    mask = bytestr.device_like_mask(d, "w0000_")
+    assert int(np.asarray(mask).sum()) == 10
+    b2d, lens, _a, _e = bytestr._planes(d)
+    assert int(np.asarray(lens)[0]) == 6  # concrete, not a leaked tracer
+
+
+def test_ovf_sink_restored_after_trace_failure():
+    import jax
+
+    from lingodb_tpu.ops import pgather
+
+    assert pgather._OVF_SINK is None
+    ctx = pgather.collect_ovf()
+    sink = ctx.__enter__()
+    try:
+        try:
+            raise RuntimeError("trace failed")
+        finally:
+            ctx.__exit__(None, None, None)
+    except RuntimeError:
+        pass
+    assert pgather._OVF_SINK is None
+    # idempotent: a second (finally-block) exit must not clobber an outer ctx
+    outer = pgather.collect_ovf()
+    outer.__enter__()
+    inner = pgather.collect_ovf()
+    inner.__enter__()
+    inner.__exit__(None, None, None)
+    inner.__exit__(None, None, None)  # double exit
+    assert pgather._OVF_SINK is not None  # outer sink still installed
+    outer.__exit__(None, None, None)
+    assert pgather._OVF_SINK is None
