@@ -96,6 +96,37 @@ def sort_permutation(key_cols: list[tuple[SCol, bool, bool | None]], n: int) -> 
     return res[-1]
 
 
+def topk_priority(c: SCol, ascending: bool, nulls_first: bool | None,
+                  rows_ok) -> jnp.ndarray | None:
+    """int64 priority image for in-program TopK candidate selection: LARGER
+    priority = EARLIER in the requested order. Tiers: padding rows (beyond
+    the group count) sit at INT64_MIN; NULL rows at MIN+1 (nulls last) or
+    MAX (nulls first); real values saturate into [MIN+2, MAX-1]. Saturation
+    can merge adjacent extreme values — merging only creates TIES, which the
+    caller's exactness check (candidate count at the cutoff) converts into a
+    safe fallback, never a wrong result. Returns None when the column has no
+    single-int order image (wide host decimals)."""
+    if nulls_first is None:
+        nulls_first = not ascending
+    imgs = order_images(c)
+    if len(imgs) != 1:
+        return None
+    img = imgs[0].astype(jnp.int64)
+    if ascending:
+        img = ~img  # order-reversing, overflow-free
+    lo64 = -(1 << 63)
+    hi64 = (1 << 63) - 1
+    if c.valid is None:
+        pr = jnp.clip(img, lo64 + 2, hi64 - 1)
+    elif nulls_first:
+        pr = jnp.where(c.valid, jnp.clip(img, lo64 + 2, hi64 - 1),
+                       jnp.int64(hi64))
+    else:
+        pr = jnp.where(c.valid, jnp.clip(img, lo64 + 2, hi64 - 1),
+                       jnp.int64(lo64 + 1))
+    return jnp.where(rows_ok, pr, jnp.int64(lo64))
+
+
 def grouping_images(key_cols: list[SCol]) -> list[jnp.ndarray]:
     """Key images for grouping: NULL is a regular distinct value (SQL GROUP BY
     semantics: NULLs form one group)."""

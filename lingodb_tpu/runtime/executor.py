@@ -341,6 +341,9 @@ class Executor:
         return _rebuild_vt(vt, layout, cols_sorted, n)
 
     def _run_topk(self, op: L.TopK) -> VTable:
+        fused = self._try_fused_topk(op)
+        if fused is not None:
+            return fused
         vt = self.run(op.child)
         if vt.num_rows == 0:
             return vt
@@ -348,6 +351,62 @@ class Executor:
             [(vt.col(k.cid), k.ascending, k.nulls_first) for k in op.keys],
             vt.num_rows,
         )
+        lo = min(op.offset, vt.num_rows)
+        hi = min(op.offset + op.n, vt.num_rows)
+        return vt.take(perm[lo:hi], hi - lo)
+
+    def _try_fused_topk(self, op: L.TopK) -> Optional[VTable]:
+        """Fold a TopK(Map*(Aggregate)) epilogue into the fused aggregate
+        program: the program emits only the top candidates by the primary
+        sort key (slack + exact tie check, see _apply_topk_epi); the host
+        re-sorts the small candidate set under the FULL key order and
+        slices. Replaces ~15-30 eager epilogue dispatches per query with
+        zero extra programs (r4: the SF1 latency wall was exactly this)."""
+        node = op.child
+        maps = []
+        while isinstance(node, L.Map):
+            maps.append(node)
+            node = node.children()[0]
+        if not isinstance(node, L.Aggregate) or not node.group_by:
+            return None
+        k = op.offset + op.n
+        if k <= 0 or k > (1 << 13):
+            return None
+        # pow2 slack: secondary keys resolve among candidates on the host;
+        # ties at the cutoff beyond the slack fall back via _EpiOverflow
+        kk = 1 << (max(2 * k, k + 32) - 1).bit_length()
+        epi = {
+            "node": op,
+            "maps": list(reversed(maps)),  # bottom-up evaluation order
+            "k": k,
+            "kk": kk,
+            "out_cids": [c.cid for c in op.child.output_cols()],
+        }
+        res = self._try_fused_agg(node, epi=epi)
+        if res is None:
+            return None
+        vt, applied = res
+        if vt is None:
+            return None
+        if not applied:
+            # dense mode or declined epilogue: the aggregate result came
+            # back whole; evaluate the Map steps eagerly (dense results are
+            # already host-resident numpy — this costs no device dispatch)
+            for m in reversed(maps):
+                cols = dict(vt.cols)
+                for info, expr in m.computed:
+                    cols[info.cid] = sc._bcast(
+                        sc.eval_expr(expr, cols), vt.num_rows)
+                vt = VTable(cols, vt.num_rows)
+        from . import device as dv
+
+        vt = dv.demote_small(vt)
+        if vt.num_rows == 0:
+            return vt
+        perm = keymod.sort_permutation(
+            [(vt.col(kx.cid), kx.ascending, kx.nulls_first)
+             for kx in op.keys],
+            vt.num_rows)
         lo = min(op.offset, vt.num_rows)
         hi = min(op.offset + op.n, vt.num_rows)
         return vt.take(perm[lo:hi], hi - lo)
@@ -731,8 +790,26 @@ class Executor:
         walk(op.child)
         return used
 
-    def _try_fused_agg(self, op: L.Aggregate):
+    def _try_fused_agg(self, op: L.Aggregate, epi=None):
+        """epi (optional): a TopK epilogue to fold INTO the fused program
+        (general mode only): {"node": L.TopK, "maps": [L.Map...bottom-up],
+        "k": int, "kk": int, "out_cids": [cid...]}. When epi is given the
+        return value is a PAIR (vtable, epi_applied): epi_applied=True means
+        the vtable holds the (<= kk) TopK CANDIDATE rows (superset of the
+        true top k under the full sort order — the caller re-sorts exactly
+        and slices); False means the plain aggregate result came back and
+        the caller must run the epilogue eagerly (dense mode / declined).
+
+        Reference analogue: one generated program per query runs
+        scan->join->agg->sort->emit (SubOpToControlFlow.cpp:1158-1685);
+        eagerly dispatching the TopK epilogue cost ~15-30 tunnel round
+        trips per query at SF1 (r4 measurements)."""
         from ..plan.serial import plan_key
+
+        want_pair = epi is not None
+
+        def _ret(vt, applied=False):
+            return (vt, applied) if want_pair else vt
 
         if any(a.distinct for a in op.aggs):
             return None
@@ -830,19 +907,27 @@ class Executor:
             base_cols = sorted(base_vt.cols.items())
             base_restrictions = []
         versions = tuple(sorted(self._subtree_versions(op)))
-        key = ("fused_agg", plan_key(op), versions)
+        basekey = ("fused_agg", plan_key(op), versions)
         cache = self.session.stage_cache
+        # group capacity / join preps / compaction+pallas decline markers are
+        # properties of the AGGREGATE alone and shared between the plain and
+        # epilogue-fused program variants; only the compiled program entry
+        # itself is keyed on the epilogue signature
+        if epi is not None and cache.get(("fused_epi_decline", basekey)):
+            epi = None
+        key = (basekey + ("epi", plan_key(epi["node"]))
+               if epi is not None else basekey)
         if cache.get(key) == "eager":
             return None
-        if ("fused_kg", key) not in cache:
+        if ("fused_kg", basekey) not in cache:
             # learned group capacities persist beside the XLA compile
             # cache: a fresh process skips the calibration program AND the
             # capacity rebuild (utils/capstore.py)
             from ..utils import capstore
 
-            stored = capstore.get(repr((key, n)))
+            stored = capstore.get(repr((basekey, n)))
             if stored:
-                cache[("fused_kg", key)] = stored
+                cache[("fused_kg", basekey)] = stored
 
         # prepare dimension builds (eager, small) + validate join shapes.
         # Preps are cached with the compiled entry: the cache key covers every
@@ -853,7 +938,7 @@ class Executor:
             snames = set(entry.storage.sorted_cols)
             sorted_cids = frozenset(
                 c.cid for c in cur.cols if c.name in snames)
-        prep_key = ("fused_prep", key)
+        prep_key = ("fused_prep", basekey)
         join_preps = cache.get(prep_key)
         if join_preps is None:
             join_preps = {}
@@ -908,7 +993,7 @@ class Executor:
         compact_k = None
         if (first_join is not None and isinstance(cur, L.Scan)
                 and n >= dv.SMALL_ROWS * 8
-                and not cache.get(("fused_nocompact", key))):
+                and not cache.get(("fused_nocompact", basekey))):
             from ..opt.cardinality import scan_selectivity
 
             sel = scan_selectivity(entry, scan, list(base_restrictions))
@@ -1059,7 +1144,10 @@ class Executor:
                             res = extra + _fused_general_group(
                                 op, key_cols, env, mask, cur_n, meta,
                                 presorted=presorted_group,
-                                kg=cache.get(("fused_kg", key)))
+                                kg=cache.get(("fused_kg", basekey)))
+                            if epi is not None and not meta.get("calibrating"):
+                                res = _apply_topk_epi(op, epi, res, meta,
+                                                      len(extra))
                             _ovf_ctx.__exit__(None, None, None)
                             flag = _ovf_bitmask(_ovf_sink)
                             return res + (flag,)
@@ -1143,7 +1231,7 @@ class Executor:
             try:
                 t_c0 = self._perf_sync()
                 jitted = jax.jit(fn)
-                nopallas = bool(cache.get(("fused_nopallas", key)))
+                nopallas = bool(cache.get(("fused_nopallas", basekey)))
 
                 def _first_run():
                     if nopallas:
@@ -1197,16 +1285,19 @@ class Executor:
 
                 g = int(np.asarray(_jax.device_get(result[-2])).reshape(-1)[0])
                 tight = 1 << (max(4 * g, dv.SMALL_ROWS) - 1).bit_length()
-                cache[("fused_kg", key)] = min(tight, meta.get("n", tight))
+                cache[("fused_kg", basekey)] = min(tight, meta.get("n", tight))
                 del cache[key]
                 from ..utils import capstore
 
-                capstore.put(repr((key, n)), cache[("fused_kg", key)])
+                capstore.put(repr((basekey, n)), cache[("fused_kg", basekey)])
                 self._perf_note(f"fused_agg calibrated group capacity "
-                                f"{cache[('fused_kg', key)]} (g={g})")
-                return self._try_fused_agg(op)
+                                f"{cache[('fused_kg', basekey)]} (g={g})")
+                return self._try_fused_agg(op, epi)
             if meta.get("mode") == "general":
-                return self._finish_fused_general(op, result, meta)
+                if meta.get("epi") is not None:
+                    return _ret(self._finish_fused_epi(op, result, meta),
+                                True)
+                return _ret(self._finish_fused_general(op, result, meta))
 
             # ONE packed transfer of all (domain,)-sized outputs; group-slot
             # extraction and key decoding happen in host numpy, results live
@@ -1220,33 +1311,42 @@ class Executor:
                 off = 1
                 if int(np.asarray(host[0]).reshape(-1)[0]) > meta["compact_k"]:
                     raise _CompactOverflow()
-            return self._finish_fused_dense(op, host, meta, off)
+            return _ret(self._finish_fused_dense(op, host, meta, off))
         except _CompactOverflow:
             # the sample-estimated survivor bound was too small: permanently
             # disable compaction for this (plan, versions) key and rebuild
-            cache[("fused_nocompact", key)] = True
+            cache[("fused_nocompact", basekey)] = True
             del cache[key]
-            return self._try_fused_agg(op)
+            return self._try_fused_agg(op, epi)
         except _CapacityOverflow as ce:
             # the learned capacity was outgrown (data changed): double it
             g_real = ce.args[0]
-            cache[("fused_kg", key)] = 1 << (2 * g_real - 1).bit_length()
+            cache[("fused_kg", basekey)] = 1 << (2 * g_real - 1).bit_length()
             from ..utils import capstore
 
-            capstore.put(repr((key, n)), cache[("fused_kg", key)])
+            capstore.put(repr((basekey, n)), cache[("fused_kg", basekey)])
             del cache[key]
             self._perf_note(f"fused_agg group capacity exceeded (g={g_real});"
                             f" rebuilding")
-            return self._try_fused_agg(op)
+            return self._try_fused_agg(op, epi)
         except _GatherOverflow as ge:
             # skewed density overran a windowed gather: permanently switch
             # this (plan, versions) key to the non-Pallas variant and rerun
             self._perf_note(f"fused_agg gather overflow mask="
                             f"{bin(ge.args[0] if ge.args else 0)}: retrying "
                             f"without Pallas kernels")
-            cache[("fused_nopallas", key)] = True
+            cache[("fused_nopallas", basekey)] = True
             del cache[key]
-            return self._try_fused_agg(op)
+            return self._try_fused_agg(op, epi)
+        except _EpiOverflow as eo:
+            # the TopK candidate set could not be proven exact (ties at the
+            # priority cutoff / wide-sum limb overflow): permanently fall
+            # back to the plain program + eager epilogue for this plan
+            self._perf_note(f"fused_topk epilogue declined: "
+                            f"{eo.args[0] if eo.args else ''}")
+            cache[("fused_epi_decline", basekey)] = True
+            del cache[key]
+            return self._try_fused_agg(op, epi)
 
     def _finish_fused_dense(self, op, host, meta, off) -> VTable:
         from . import device as dv
@@ -1409,6 +1509,64 @@ class Executor:
         for spec in op.aggs:
             out[spec.out.cid] = agg_cols[spec.out.cid]
         return VTable(out, g)
+
+    def _finish_fused_epi(self, op, result, meta) -> VTable:
+        """TopK-epilogue finish: ONE scalar fetch (compaction survivor
+        count, group count, tie count at the candidate cutoff, wide-limb
+        flag, gather-overflow flag), then slice the (kk,)-sized candidate
+        lanes to the true candidate count. Returns a device-resident VTable
+        of TopK CANDIDATES — a proven superset of the true top k under the
+        full sort order — which the caller re-sorts exactly and slices.
+
+        Exactness argument: candidates are the kk best rows by the primary
+        key's priority image (ops/keys.py topk_priority). If the number of
+        rows tying or beating the cutoff priority equals kk (tie_cnt <= kk
+        checked below), every row with priority >= cutoff is a candidate;
+        the true top-k rows all have priority >= the k-th best >= cutoff,
+        so they are contained. Otherwise _EpiOverflow falls back safely."""
+        from . import device as dv
+
+        e = meta["epi"]
+        off = 1 if meta.get("compact_k") else 0
+        fetch = {str(i): result[i] for i in range(off + 3)}
+        fetch["govf"] = result[-1]
+        scalars = dv.fetch_arrays_np(fetch)
+        govf = int(np.asarray(scalars["govf"]).reshape(-1)[0])
+        if govf > 0:
+            raise _GatherOverflow(govf)
+        if off and int(scalars["0"]) > meta["compact_k"]:
+            raise _CompactOverflow()
+        g = int(scalars[str(off)])
+        meta["last_g"] = g
+        if g > meta.get("kg", g):
+            raise _CapacityOverflow(g)
+        if self.track_tuples is not None:
+            # the Aggregate op never passes through run() on this path;
+            # record its true group count for EXPLAIN ANALYZE
+            self.track_tuples[id(op)] = g
+        tie_cnt = int(np.asarray(scalars[str(off + 1)]).reshape(-1)[0])
+        limb = bool(np.asarray(scalars[str(off + 2)]).reshape(-1)[0])
+        kk = e["kk"]
+        if limb:
+            raise _EpiOverflow("wide-sum limb overflow")
+        if g > kk and tie_cnt > kk:
+            raise _EpiOverflow(f"tie overflow at cutoff ({tie_cnt} > {kk})")
+        if g == 0:
+            cols = {cid: _empty_scol(t) for cid, t, _d, _v in e["templates"]}
+            return VTable(cols, 0)
+        ncand = min(g, kk)
+        sliced = _slice_exact(tuple(result[off + 3:-1]), ncand)
+        cols = {}
+        i = 0
+        for cid, t, d, has_valid in e["templates"]:
+            data = sliced[i]
+            i += 1
+            valid = None
+            if has_valid:
+                valid = sliced[i]
+                i += 1
+            cols[cid] = SCol(t, data, valid, d)
+        return VTable(cols, ncand)
 
     def _finish_fused_agg(self, spec, val, cnt, cpu_col, dictionary) -> SCol:
         t = spec.out.type
@@ -2398,6 +2556,79 @@ def _slice_exact(arrays, g: int):
     return tuple(a[:g] for a in arrays)
 
 
+def _apply_topk_epi(op, epi, res, meta, n_extra):
+    """Fold the TopK epilogue into the fused program (general mode): build
+    the group-space environment from the padded reduction lanes, evaluate
+    any Map steps between the Aggregate and the TopK, rank groups by the
+    PRIMARY sort key's int64 priority image, and emit only the top-kk
+    candidate rows of every output column plus (group count, tie count at
+    the cutoff, wide-limb flag). kk carries slack over the requested k so
+    secondary sort keys resolve on the host among candidates; the tie count
+    lets the finish PROVE the candidate set contains the exact top-k
+    (reference: the generated program's heap-based topk,
+    SubOpToControlFlow.cpp:1685 heap_compare)."""
+    import jax.numpy as jx
+
+    kg = meta["kg"]
+    g = res[n_extra]
+    lanes = res[n_extra + 1:]
+    env = {}
+    i = 0
+    for pos, cid in enumerate(op.group_by):
+        ktype, kdict, knull = meta["key_templates"][pos]
+        data = lanes[i]
+        i += 1
+        valid = None
+        if knull:
+            valid = lanes[i]
+            i += 1
+        env[cid] = SCol(ktype, data, valid, kdict)
+    rows_ok = jx.arange(kg, dtype=jx.int64) < g
+    limbflag = jx.zeros((), jx.bool_)
+    for spec in op.aggs:
+        cid = spec.out.cid
+        if cid in meta.get("agg_limbs", ()):
+            hi, lo, cnt = lanes[i], lanes[i + 1], lanes[i + 2]
+            i += 3
+            limbflag = limbflag | jx.any(
+                ((jx.abs(hi) >> jx.int64(30)) > 0) & rows_ok)
+            val = (hi << jx.int64(32)) + lo
+            env[cid] = SCol(spec.out.type, val, cnt > 0,
+                            meta["agg_dicts"].get(cid))
+        elif spec.fn in ("count", "count_star"):
+            val, _cnt = lanes[i], lanes[i + 1]
+            i += 2
+            env[cid] = SCol(spec.out.type, val, None)
+        else:
+            val, cnt = lanes[i], lanes[i + 1]
+            i += 2
+            env[cid] = SCol(spec.out.type, val, cnt > 0,
+                            meta["agg_dicts"].get(cid))
+    for m in epi["maps"]:
+        for info, e in m.computed:
+            env[info.cid] = sc._bcast(sc.eval_expr(e, env), kg)
+    k0 = epi["node"].keys[0]
+    prio = keymod.topk_priority(env[k0.cid], k0.ascending, k0.nulls_first,
+                                rows_ok)
+    if prio is None:  # defensive: no single-int order image
+        raise _NotDense("topk epilogue: primary key has no order image")
+    kk = min(epi["kk"], kg)
+    vals, cand = jax.lax.top_k(prio, kk)
+    cutoff = vals[kk - 1]
+    tie_cnt = jx.sum(((prio >= cutoff) & rows_ok).astype(jx.int64))
+    templates = []
+    out_lanes = []
+    for cid in epi["out_cids"]:
+        c = sc._bcast(env[cid], kg)
+        out_lanes.append(jx.take(c.data, cand, mode="clip"))
+        has_valid = c.valid is not None
+        if has_valid:
+            out_lanes.append(jx.take(c.valid, cand, mode="clip"))
+        templates.append((cid, c.type, c.dictionary, has_valid))
+    meta["epi"] = {"kk": kk, "k": epi["k"], "templates": templates}
+    return res[:n_extra] + (g, tie_cnt, limbflag) + tuple(out_lanes)
+
+
 def _fused_general_group(op, key_cols, env, mask, n, meta, presorted=False,
                          kg=None):
     """General (large-domain) grouping INSIDE the fused program: ONE
@@ -2810,6 +3041,13 @@ def _ovf_bitmask(sink):
     for k, o in enumerate(sink):
         out = out | jnp.where(o > 0, jnp.int32(1 << min(k, 30)), jnp.int32(0))
     return out
+
+
+class _EpiOverflow(Exception):
+    """Raised when the fused TopK epilogue cannot prove its candidate set
+    exact (priority-cutoff ties exceeding the slack, or a wide-sum limb
+    overflow corrupting the combined sort image); the caller rebuilds the
+    plain program and runs the epilogue eagerly."""
 
 
 class _GatherOverflow(Exception):

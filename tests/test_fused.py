@@ -43,8 +43,8 @@ def test_fused_query_matches_oracle(q, fused_session):
     hits = []
     orig = ex.Executor._try_fused_agg
 
-    def spy(self, op):
-        r = orig(self, op)
+    def spy(self, op, epi=None):
+        r = orig(self, op, epi=epi)
         hits.append(r is not None)
         return r
 
