@@ -210,11 +210,16 @@ def gather_chunked_planes(tables, idx):
     idx_flat = idx.reshape(-1)
     idx_flat = jnp.clip(idx_flat, 0, s - 1)
     n = idx_flat.shape[0]
-    # the unrolled chunk loop keeps ~chunks x (t_rows,128) broadcast
-    # temporaries live; scale the tile down for big tables so the scoped
-    # VMEM stack stays under the 16MB limit (measured: 128 chunks x 512
-    # rows = 30.9MB -> kernel OOM at compile)
-    t_rows = 512 if s_pad <= 8192 else 128
+    # the unrolled chunk loop keeps up to chunks x C x (t_rows,128) i32
+    # broadcast temporaries live on the scoped VMEM stack (limit 16MB);
+    # r4's fixed rule (512 rows up to 8K tables) was calibrated for ONE
+    # plane and compile-OOMed at C=2 (measured: 64 chunks x 2 planes x 512
+    # rows = 28.9MB). Model the worst case explicitly and shrink the tile.
+    chunks_ = s_pad // 128
+    t_rows = 512
+    budget = 12 << 20
+    while t_rows > 8 and chunks_ * len(tables) * t_rows * 128 * 4 > budget:
+        t_rows //= 2
     tile = t_rows * 128
     n_pad = -(-n // tile) * tile
     if n_pad != n:

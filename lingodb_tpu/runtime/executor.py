@@ -1009,26 +1009,65 @@ class Executor:
             k = -(-est // 65536) * 65536
             if k <= n // 2:
                 compact_k = k
-        # columns the post-compaction pipeline still reads (everything else
-        # is dropped instead of gathered)
-        used_after = set(op.group_by) | {
+        # columns each step suffix still reads (everything else is dropped
+        # instead of gathered at a compaction point): used_from[si] = cols
+        # consumed by steps si.. plus the final grouping/aggregation
+        used_from = [set() for _ in range(len(steps) + 1)]
+        used_from[len(steps)] = set(op.group_by) | {
             a.arg for a in op.aggs if a.arg is not None}
-        for si in range(lead, len(steps)):
+        for si in range(len(steps) - 1, -1, -1):
+            u = set(used_from[si + 1])
             st = steps[si]
             if st[0] == "sm":
                 if isinstance(st[1], L.Select):
-                    used_after |= E.used_cols(st[1].predicate)
+                    u |= E.used_cols(st[1].predicate)
                 else:
                     for _info, e in st[1].computed:
-                        used_after |= E.used_cols(e)
+                        u |= E.used_cols(e)
             else:
                 p = join_preps[si]
                 if p.get("probe_expr") is not None:
-                    used_after |= E.used_cols(p["probe_expr"])
+                    u |= E.used_cols(p["probe_expr"])
                 if p.get("probe_expr2") is not None:
-                    used_after |= E.used_cols(p["probe_expr2"])
+                    u |= E.used_cols(p["probe_expr2"])
                 for r in p.get("residual", ()):
-                    used_after |= E.used_cols(r)
+                    u |= E.used_cols(r)
+            used_from[si] = u
+        used_after = used_from[lead]
+
+        # post-join spine compaction: when a (semi/anti/inner) join step is
+        # observed to keep only a small fraction of the spine, compact the
+        # survivors right after it so every later step AND the reduction run
+        # at survivor scale (r4's q18: a semi join narrowed 60M rows to a
+        # few hundred yet grouping still ran at row scale — 8.6 s). The
+        # survivor counts are LEARNED: the calibration count-only program
+        # (or the first full run) returns per-join-step mask sums; caps get
+        # 4x pow2 headroom and persist beside the compile cache. Reference
+        # analogue: the hash-table build is naturally survivor-sized
+        # (src/runtime/Hashtable.cpp) — here survivor-sizing is an adaptive
+        # recompilation.
+        join_sis = [si for si, st in enumerate(steps)
+                    if st[0] == "join"
+                    and st[1].kind in ("inner", "semi", "anti")]
+        stepcaps = cache.get(("fused_stepcaps", basekey))
+        if stepcaps is None:
+            from ..utils import capstore
+
+            stored_sc = capstore.get("stepcaps::" + repr((basekey, n)))
+            if stored_sc:
+                stepcaps = {int(k2): int(v2) for k2, v2 in stored_sc.items()}
+                cache[("fused_stepcaps", basekey)] = stepcaps
+        mid_caps = {}
+        if stepcaps:
+            size = compact_k or n
+            for si in join_sis:
+                obs = stepcaps.get(si)
+                if obs is None:
+                    continue
+                capv = 1 << (max(4 * obs, dv.SMALL_ROWS) - 1).bit_length()
+                if capv <= size // 8:
+                    mid_caps[si] = capv
+                    size = capv
 
         templates = base_cols
         arrays = []
@@ -1073,48 +1112,55 @@ class Executor:
                         mask = m if mask is None else mask & m
                     cur_n = n
                     extra = ()
+                    extras_desc = []
+                    step_counts = []
+
+                    def _compact(env, mask, capv, used_cols):
+                        # survivor positions via the Pallas streaming
+                        # compaction kernel on the chip (ops/pgather.py);
+                        # positions are monotone, so the per-column fetch
+                        # uses the windowed sorted-gather kernel. ONE batched
+                        # kernel call fetches every surviving column
+                        # (amortizes the Mosaic compile + index walk)
+                        sel_count, idx = pgather.nonzero_positions(mask, capv)
+                        fetch = []
+                        for cid, c in env.items():
+                            if cid not in used_cols or c.data.ndim == 0:
+                                continue
+                            fetch.append(c.data)
+                            if c.valid is not None:
+                                fetch.append(c.valid)
+                        # compaction positions are sentinel-padded to the
+                        # capacity: true survivor density is unknown
+                        # statically -> conservative walk
+                        fetched = pgather.take_fast_multi(fetch, idx,
+                                                          monotone=True,
+                                                          conservative=True)
+                        fi = 0
+                        newenv = {}
+                        for cid, c in env.items():
+                            if cid not in used_cols or c.data.ndim == 0:
+                                newenv[cid] = c
+                                continue
+                            data = fetched[fi]
+                            fi += 1
+                            valid = None
+                            if c.valid is not None:
+                                valid = fetched[fi]
+                                fi += 1
+                            newenv[cid] = SCol(c.type, data, valid,
+                                               c.dictionary)
+                        newmask = jnp.arange(capv, dtype=jnp.int64) < sel_count
+                        return newenv, newmask, sel_count
+
                     for si, step in enumerate(steps):
                         if (compact_k is not None and si == lead
                                 and mask is not None and mask.ndim != 0):
-                            # survivor positions via the Pallas streaming
-                            # compaction kernel on the chip (ops/pgather.py);
-                            # positions are monotone, so the per-column fetch
-                            # uses the windowed sorted-gather kernel
-                            sel_count, idx = pgather.nonzero_positions(
-                                mask, compact_k)
-                            # ONE batched kernel call fetches every surviving
-                            # column (amortizes the Mosaic compile + index walk)
-                            fetch = []
-                            for cid, c in env.items():
-                                if cid not in used_after or c.data.ndim == 0:
-                                    continue
-                                fetch.append(c.data)
-                                if c.valid is not None:
-                                    fetch.append(c.valid)
-                            # compaction positions are sentinel-padded to the
-                            # estimated capacity: true survivor density is
-                            # unknown statically -> conservative walk
-                            fetched = pgather.take_fast_multi(fetch, idx,
-                                                              monotone=True,
-                                                              conservative=True)
-                            fi = 0
-                            newenv = {}
-                            for cid, c in env.items():
-                                if cid not in used_after or c.data.ndim == 0:
-                                    newenv[cid] = c
-                                    continue
-                                data = fetched[fi]
-                                fi += 1
-                                valid = None
-                                if c.valid is not None:
-                                    valid = fetched[fi]
-                                    fi += 1
-                                newenv[cid] = SCol(c.type, data, valid,
-                                                   c.dictionary)
-                            env = newenv
-                            mask = jnp.arange(compact_k, dtype=jnp.int64) < sel_count
+                            env, mask, sel_count = _compact(
+                                env, mask, compact_k, used_after)
                             cur_n = compact_k
-                            extra = (sel_count,)
+                            extra = extra + (sel_count,)
+                            extras_desc.append(("lead", compact_k))
                         if step[0] == "sm" and isinstance(step[1], L.Select):
                             m = sc.truth_mask(sc.eval_expr(step[1].predicate, env))
                             mask = m if mask is None else mask & m
@@ -1127,7 +1173,31 @@ class Executor:
                             mask = _fused_join_step(
                                 prep, arrs[i:i + nargs], env, mask, cur_n)
                             i += nargs
-                    if not extra:
+                            if si in join_sis:
+                                # survivor count after every narrowing join:
+                                # rides the outputs so the engine LEARNS
+                                # where to compact (see mid_caps above)
+                                if mask is None:
+                                    step_counts.append(
+                                        jnp.asarray(cur_n, jnp.int64))
+                                elif mask.ndim == 0:
+                                    step_counts.append(jnp.where(
+                                        mask, jnp.int64(cur_n), jnp.int64(0)))
+                                else:
+                                    step_counts.append(
+                                        jnp.sum(mask.astype(jnp.int64)))
+                            if (si in mid_caps and mask is not None
+                                    and mask.ndim != 0):
+                                capv = mid_caps[si]
+                                env, mask, sel_count = _compact(
+                                    env, mask, capv, used_from[si + 1])
+                                cur_n = capv
+                                extra = extra + (sel_count,)
+                                extras_desc.append(("mid", si, capv))
+                    meta["extras"] = tuple(extras_desc)
+                    meta["join_sis"] = tuple(
+                        si for si in join_sis)
+                    if not any(d[0] == "lead" for d in extras_desc):
                         meta["compact_k"] = None
                     if mask is not None and mask.ndim == 0:
                         mask = jnp.broadcast_to(mask, (cur_n,))
@@ -1150,7 +1220,7 @@ class Executor:
                                                       len(extra))
                             _ovf_ctx.__exit__(None, None, None)
                             flag = _ovf_bitmask(_ovf_sink)
-                            return res + (flag,)
+                            return res + tuple(step_counts) + (flag,)
                         radices = [gb.small_domain(c) for c in key_cols]
                     else:
                         gid = jnp.zeros((cur_n,), jnp.int32)
@@ -1221,102 +1291,177 @@ class Executor:
                     flag = _ovf_bitmask(_ovf_sink)
                     # (domain,)-shaped like every other lane: the packed fetch
                     # stacks equal shapes
-                    return extra + tuple(outs) + (
+                    return extra + tuple(outs) + tuple(
+                        jnp.broadcast_to(c_, (domain,))
+                        for c_ in step_counts) + (
                         jnp.broadcast_to(flag, (domain,)),)
                 finally:
                     # idempotent (already exited on the return paths);
                     # guarantees the sink never outlives a failed trace
                     _ovf_ctx.__exit__(None, None, None)
 
-            try:
-                t_c0 = self._perf_sync()
-                jitted = jax.jit(fn)
-                nopallas = bool(cache.get(("fused_nopallas", basekey)))
+            nopallas = bool(cache.get(("fused_nopallas", basekey)))
+            # executable-store probe: a persisted PJRT executable skips the
+            # Python TRACE entirely (~30-90 s per program at 60M shapes —
+            # the dominant warm-cache warmup cost, r4). Keyed on everything
+            # that shapes the traced program.
+            from . import exestore
 
-                def _first_run():
-                    if nopallas:
-                        # a previous run's windowed gathers overflowed
-                        # (skewed density): retrace without Pallas kernels
-                        old_force = pgather.FORCE_PALLAS
-                        pgather.FORCE_PALLAS = False
-                        try:
-                            return jitted(*arrays)
-                        finally:
-                            pgather.FORCE_PALLAS = old_force
-                    return jitted(*arrays)
-
+            exe_mat = (key,
+                       tuple((tuple(a.shape), str(a.dtype)) for a in arrays),
+                       compact_k, tuple(sorted(mid_caps.items())),
+                       cache.get(("fused_kg", basekey)), nopallas,
+                       pgather.FORCE_PALLAS, dv.SMALL_ROWS)
+            exe_k = exestore.make_key(exe_mat)
+            hit = exestore.get(exe_k)
+            if hit is not None:
+                compiled, meta = hit
                 try:
-                    result = _first_run()
-                except Exception as ce:
-                    # the remote compile helper occasionally dies (SIGSEGV /
-                    # HTTP 500) under memory pressure from big-shape
-                    # compiles; one clean retry usually succeeds
-                    if "remote_compile" not in repr(ce):
-                        raise
-                    self._perf_note("fused_agg remote compile died; "
-                                    "retrying once")
-                    result = _first_run()
-                # touch to force trace/compile errors now
-                cache[key] = (jitted, meta, [t for t in templates])
-                self._perf_note(
-                    f"fused_agg compile+first-run "
-                    f"{(self._perf_sync() - t_c0):.1f}s n={n} "
-                    f"compact_k={compact_k} presorted={presorted_group}")
-                for d in pgather._OVF_DESC:
-                    self._perf_note(f"fused gather {d}")
-            except Exception as fe:  # non-traceable (UDFs, host strings...)
-                self._perf_note(f"fused_agg DECLINED (trace/compile): "
-                                f"{type(fe).__name__}: {str(fe)[:160]}")
-                cache[key] = "eager"
-                return None
-        else:
-            jitted, meta, _t = cache[key]
-            result = jitted(*arrays)
+                    t_c0 = self._perf_sync()
+                    result = compiled(*arrays)
+                    # sync HERE: a broken deserialized executable fails
+                    # asynchronously, past any later guard — surface it now
+                    # so the fallback below compiles fresh
+                    jax.block_until_ready(result)
+                    cache[key] = (compiled, meta, [t for t in templates])
+                    self._perf_note(
+                        f"fused_agg exe-store hit (no trace) "
+                        f"{(self._perf_sync() - t_c0):.1f}s n={n}")
+                except Exception:
+                    hit = None
+            if hit is None:
+                try:
+                    t_c0 = self._perf_sync()
 
-        jitted, meta, _t = cache[key]
+                    def _lower_compile():
+                        if nopallas:
+                            # a previous run's windowed gathers overflowed
+                            # (skewed density): retrace without Pallas
+                            old_force = pgather.FORCE_PALLAS
+                            pgather.FORCE_PALLAS = False
+                            try:
+                                return jax.jit(fn).lower(*arrays).compile()
+                            finally:
+                                pgather.FORCE_PALLAS = old_force
+                        return jax.jit(fn).lower(*arrays).compile()
+
+                    try:
+                        compiled = _lower_compile()
+                        result = compiled(*arrays)
+                    except Exception as ce:
+                        # the remote compile helper occasionally dies
+                        # (SIGSEGV / HTTP 500) under memory pressure from
+                        # big-shape compiles; one clean retry usually works
+                        if "remote_compile" not in repr(ce):
+                            raise
+                        self._perf_note("fused_agg remote compile died; "
+                                        "retrying once")
+                        compiled = _lower_compile()
+                        result = compiled(*arrays)
+                    cache[key] = (compiled, meta, [t for t in templates])
+                    if not meta.get("calibrating"):
+                        exestore.put(exe_k, compiled, meta)
+                    self._perf_note(
+                        f"fused_agg compile+first-run "
+                        f"{(self._perf_sync() - t_c0):.1f}s n={n} "
+                        f"compact_k={compact_k} presorted={presorted_group}")
+                    for d in pgather._OVF_DESC:
+                        self._perf_note(f"fused gather {d}")
+                except Exception as fe:  # non-traceable (UDFs, strings...)
+                    self._perf_note(f"fused_agg DECLINED (trace/compile): "
+                                    f"{type(fe).__name__}: {str(fe)[:160]}")
+                    cache[key] = "eager"
+                    return None
+        else:
+            compiled, meta, _t = cache[key]
+            result = compiled(*arrays)
+
+        compiled, meta, _t = cache[key]
         from . import device as dv
 
         try:
+            n_sc = len(meta.get("join_sis", ()))
             if meta.get("mode") == "general" and meta.get("calibrating"):
-                # count-only calibration program: learn the capacity and
-                # rebuild the full program around it (runs ONCE per
-                # plan+versions; the capacity persists in the stage cache)
+                # count-only calibration program: learn the group capacity
+                # AND the per-join-step survivor counts, then rebuild the
+                # full program around them (runs ONCE per plan+versions;
+                # both persist beside the compile cache)
                 import jax as _jax
 
-                g = int(np.asarray(_jax.device_get(result[-2])).reshape(-1)[0])
+                tail = [np.asarray(a).reshape(-1)[0] for a in _jax.device_get(
+                    list(result[-2 - n_sc:-1]))]
+                g = int(tail[0])
                 tight = 1 << (max(4 * g, dv.SMALL_ROWS) - 1).bit_length()
                 cache[("fused_kg", basekey)] = min(tight, meta.get("n", tight))
                 del cache[key]
                 from ..utils import capstore
 
                 capstore.put(repr((basekey, n)), cache[("fused_kg", basekey)])
+                if n_sc:
+                    counts = {si: int(c) for si, c in
+                              zip(meta["join_sis"], tail[1:])}
+                    cache[("fused_stepcaps", basekey)] = counts
+                    capstore.put("stepcaps::" + repr((basekey, n)),
+                                 {str(k2): v2 for k2, v2 in counts.items()})
                 self._perf_note(f"fused_agg calibrated group capacity "
-                                f"{cache[('fused_kg', basekey)]} (g={g})")
+                                f"{cache[('fused_kg', basekey)]} (g={g}) "
+                                f"stepcounts={meta.get('join_sis', ())}/"
+                                f"{tail[1:]}")
                 return self._try_fused_agg(op, epi)
             if meta.get("mode") == "general":
                 if meta.get("epi") is not None:
-                    return _ret(self._finish_fused_epi(op, result, meta),
-                                True)
-                return _ret(self._finish_fused_general(op, result, meta))
-
-            # ONE packed transfer of all (domain,)-sized outputs; group-slot
-            # extraction and key decoding happen in host numpy, results live
-            # on the CPU backend
-            host = dv.fetch_arrays_np({i: a for i, a in enumerate(result)})
-            _g = int(np.asarray(host[len(result) - 1]).reshape(-1)[0])
-            if _g > 0:
-                raise _GatherOverflow(_g)
-            off = 0
-            if meta.get("compact_k"):
-                off = 1
-                if int(np.asarray(host[0]).reshape(-1)[0]) > meta["compact_k"]:
-                    raise _CompactOverflow()
-            return _ret(self._finish_fused_dense(op, host, meta, off))
+                    vt_out = self._finish_fused_epi(op, result, meta)
+                    applied = True
+                else:
+                    vt_out = self._finish_fused_general(op, result, meta)
+                    applied = False
+            else:
+                # ONE packed transfer of all (domain,)-sized outputs;
+                # group-slot extraction and key decoding happen in host
+                # numpy, results live on the CPU backend
+                host = dv.fetch_arrays_np(
+                    {i: a for i, a in enumerate(result)})
+                _g = int(np.asarray(host[len(result) - 1]).reshape(-1)[0])
+                if _g > 0:
+                    raise _GatherOverflow(_g)
+                off = len(meta.get("extras", ()))
+                self._check_fused_extras(meta, [
+                    int(np.asarray(host[j]).reshape(-1)[0])
+                    for j in range(off)])
+                if n_sc:
+                    meta["last_stepcounts"] = {
+                        si: int(np.asarray(
+                            host[len(result) - 1 - n_sc + j]).reshape(-1)[0])
+                        for j, si in enumerate(meta["join_sis"])}
+                vt_out = self._finish_fused_dense(op, host, meta, off)
+                applied = False
+            # learn survivor counts from the first full run when no
+            # calibration ran (capstore carried the group capacity): if a
+            # compaction opportunity exists, the NEXT execution rebuilds
+            # compacted (steady state converges on run 2)
+            self._learn_stepcaps(basekey, key, cache, meta, n)
+            return _ret(vt_out, applied)
         except _CompactOverflow:
             # the sample-estimated survivor bound was too small: permanently
             # disable compaction for this (plan, versions) key and rebuild
             cache[("fused_nocompact", basekey)] = True
             del cache[key]
+            return self._try_fused_agg(op, epi)
+        except _MidCompactOverflow as mo:
+            # a learned post-join survivor cap was outgrown (data changed):
+            # record the observed count; the rebuild re-derives the cap with
+            # fresh headroom or drops the compaction entirely
+            si_o, v_o = mo.args
+            stepcaps2 = dict(cache.get(("fused_stepcaps", basekey)) or {})
+            stepcaps2[si_o] = int(v_o)
+            cache[("fused_stepcaps", basekey)] = stepcaps2
+            from ..utils import capstore
+
+            capstore.put("stepcaps::" + repr((basekey, n)),
+                         {str(k2): int(v2) for k2, v2 in stepcaps2.items()})
+            del cache[key]
+            self._perf_note(f"fused_agg mid-compaction cap exceeded at "
+                            f"step {si_o} (count={v_o}); rebuilding")
             return self._try_fused_agg(op, epi)
         except _CapacityOverflow as ce:
             # the learned capacity was outgrown (data changed): double it
@@ -1347,6 +1492,45 @@ class Executor:
             cache[("fused_epi_decline", basekey)] = True
             del cache[key]
             return self._try_fused_agg(op, epi)
+
+    def _check_fused_extras(self, meta, vals) -> None:
+        """Validate each compaction's true survivor count against its static
+        capacity (vals: fetched ints, one per extras slot, in order)."""
+        for desc, v in zip(meta.get("extras", ()), vals):
+            if desc[0] == "lead" and v > desc[1]:
+                raise _CompactOverflow()
+            if desc[0] == "mid" and v > desc[2]:
+                raise _MidCompactOverflow(desc[1], v)
+
+    def _learn_stepcaps(self, basekey, key, cache, meta, n) -> None:
+        """After a successful full run that recorded per-join-step survivor
+        counts: if the counts reveal an unexploited compaction opportunity,
+        persist them and drop the compiled entry so the next execution
+        rebuilds survivor-sized."""
+        counts = meta.get("last_stepcounts")
+        if not counts or cache.get(("fused_stepcaps", basekey)):
+            return
+        from . import device as dv
+
+        size = meta.get("compact_k") or n
+        worth = False
+        for si in meta.get("join_sis", ()):
+            obs = counts.get(si)
+            if obs is None:
+                continue
+            capv = 1 << (max(4 * obs, dv.SMALL_ROWS) - 1).bit_length()
+            if capv <= size // 8:
+                worth = True
+                size = capv
+        cache[("fused_stepcaps", basekey)] = counts
+        from ..utils import capstore
+
+        capstore.put("stepcaps::" + repr((basekey, n)),
+                     {str(k2): int(v2) for k2, v2 in counts.items()})
+        if worth and key in cache:
+            del cache[key]
+            self._perf_note(f"fused_agg learned step survivor counts "
+                            f"{counts}; next run rebuilds compacted")
 
     def _finish_fused_dense(self, op, host, meta, off) -> VTable:
         from . import device as dv
@@ -1425,7 +1609,9 @@ class Executor:
         (r4 profiling: q3's 2.3s runs were this, not compute)."""
         from . import device as dv
 
-        off = 1 if meta.get("compact_k") else 0
+        off = len(meta.get("extras", ()))
+        n_sc = len(meta.get("join_sis", ()))
+        lane_end = -1 - n_sc  # trailing per-join-step survivor counts + flag
         limb_slots = []  # (hi, lo) positions in result for wide sums
         i = off + 1
         for pos, cid in enumerate(op.group_by):
@@ -1438,6 +1624,8 @@ class Executor:
                 i += 2
         fetch = {str(i_): result[i_] for i_ in range(off + 1)}
         fetch["govf"] = result[-1]  # windowed-gather overflow flag
+        for j in range(n_sc):
+            fetch[f"sc{j}"] = result[lane_end + j]
         if limb_slots:
             # wide sums combine exactly into one int64 unless a group's
             # high limb leaves the safe band; check on device, fetch the
@@ -1456,8 +1644,13 @@ class Executor:
         govf = int(np.asarray(scalars["govf"]).reshape(-1)[0])
         if govf > 0:
             raise _GatherOverflow(govf)
-        if off and int(scalars["0"]) > meta["compact_k"]:
-            raise _CompactOverflow()
+        self._check_fused_extras(meta, [
+            int(np.asarray(scalars[str(j)]).reshape(-1)[0])
+            for j in range(off)])
+        if n_sc:
+            meta["last_stepcounts"] = {
+                si: int(np.asarray(scalars[f"sc{j}"]).reshape(-1)[0])
+                for j, si in enumerate(meta["join_sis"])}
         g = int(scalars[str(off)])
         meta["last_g"] = g
         if g > meta.get("kg", g):
@@ -1465,7 +1658,7 @@ class Executor:
         if g == 0:
             return VTable({c.cid: _empty_scol(c.type) for c in op.output_cols()}, 0)
         limb_overflow = bool(np.asarray(scalars.get("limbflag", False)))
-        sliced = _slice_exact(tuple(result[off + 1:-1]), g)
+        sliced = _slice_exact(tuple(result[off + 1:lane_end]), g)
 
         def dev_col(t, data, valid, dictionary=None):
             return SCol(t, data, valid, dictionary)
@@ -1527,15 +1720,24 @@ class Executor:
         from . import device as dv
 
         e = meta["epi"]
-        off = 1 if meta.get("compact_k") else 0
+        off = len(meta.get("extras", ()))
+        n_sc = len(meta.get("join_sis", ()))
+        lane_end = -1 - n_sc
         fetch = {str(i): result[i] for i in range(off + 3)}
         fetch["govf"] = result[-1]
+        for j in range(n_sc):
+            fetch[f"sc{j}"] = result[lane_end + j]
         scalars = dv.fetch_arrays_np(fetch)
         govf = int(np.asarray(scalars["govf"]).reshape(-1)[0])
         if govf > 0:
             raise _GatherOverflow(govf)
-        if off and int(scalars["0"]) > meta["compact_k"]:
-            raise _CompactOverflow()
+        self._check_fused_extras(meta, [
+            int(np.asarray(scalars[str(j)]).reshape(-1)[0])
+            for j in range(off)])
+        if n_sc:
+            meta["last_stepcounts"] = {
+                si: int(np.asarray(scalars[f"sc{j}"]).reshape(-1)[0])
+                for j, si in enumerate(meta["join_sis"])}
         g = int(scalars[str(off)])
         meta["last_g"] = g
         if g > meta.get("kg", g):
@@ -1555,7 +1757,7 @@ class Executor:
             cols = {cid: _empty_scol(t) for cid, t, _d, _v in e["templates"]}
             return VTable(cols, 0)
         ncand = min(g, kk)
-        sliced = _slice_exact(tuple(result[off + 3:-1]), ncand)
+        sliced = _slice_exact(tuple(result[off + 3:lane_end]), ncand)
         cols = {}
         i = 0
         for cid, t, d, has_valid in e["templates"]:
@@ -3030,6 +3232,11 @@ def _cummax1d(v):
 class _CompactOverflow(Exception):
     """Raised when the compacted fused program's survivor count exceeded the
     sample-estimated static size; the caller rebuilds without compaction."""
+
+
+class _MidCompactOverflow(Exception):
+    """Raised when a learned post-join survivor cap was exceeded (args:
+    step index, observed count); the caller re-learns and rebuilds."""
 
 
 def _ovf_bitmask(sink):

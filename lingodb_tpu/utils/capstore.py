@@ -52,12 +52,14 @@ def get(key: str):
         return _load().get(key)
 
 
-def put(key: str, kg: int) -> None:
+def put(key: str, kg) -> None:
+    """kg: an int capacity or any JSON-serializable learned statistic
+    (e.g. the per-join-step survivor counts dict)."""
     with _lock:
         d = _load()
         if d.get(key) == kg:
             return
-        d[key] = int(kg)
+        d[key] = int(kg) if isinstance(kg, (int, float)) else kg
         p = _store_path()
         if not p:
             return
