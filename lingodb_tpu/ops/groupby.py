@@ -38,6 +38,67 @@ def small_domain(c: SCol) -> int | None:
     return None
 
 
+def bounded_gid(key_cols: list[SCol], bounds):
+    """Mixed-radix dense group id using LEARNED per-key [kmin, kmax] value
+    bounds for integer/date keys (bounds: one (kmin, kmax) pair or None per
+    key; None falls back to small_domain). Returns (gid, total, radices,
+    offsets, oob) or (None,)*5 when a key has neither a small domain nor
+    usable bounds. `oob` is a per-row bool marking keys OUTSIDE their
+    learned bounds — the caller rides its sum on the program outputs and
+    rebuilds if it ever fires (within one table version it cannot: bounds
+    are calibrated on the same data).
+
+    This is what turns year x nation groupings (TPC-H Q7/Q9) into the
+    sort-free dense psum path: the value RANGE is tiny but not statically
+    known, so the static dense_gid() below cannot see it (the reference's
+    runtime hash table is naturally value-oblivious; here adaptive
+    recompilation learns the domain instead)."""
+    from ..sql.types import K as _K
+
+    total = 1
+    radices = []
+    offsets = []
+    for c, b in zip(key_cols, bounds):
+        d = small_domain(c)
+        if d is not None:
+            radices.append(d)
+            offsets.append(None)  # value IS the code
+        elif (b is not None
+              and c.type.kind in (_K.INT, _K.BIGINT, _K.DATE)):
+            kmin, kmax = b
+            if kmax < kmin:
+                kmin, kmax = 0, 0  # no surviving rows at calibration
+            d = (int(kmax) - int(kmin) + 1) + (1 if c.valid is not None else 0)
+            radices.append(d)
+            offsets.append(int(kmin))
+        else:
+            return None, None, None, None, None
+        total *= d
+        if total > DENSE_DOMAIN_LIMIT:
+            return None, None, None, None, None
+    gid = None
+    oob = None
+    for c, r, off in zip(key_cols, radices, offsets):
+        if off is None:
+            code = c.data.astype(jnp.int32)
+            if c.valid is not None:
+                code = jnp.where(c.valid, code, r - 1)
+        else:
+            k = c.data.astype(jnp.int64)
+            span = r - (1 if c.valid is not None else 0)
+            bad = (k < off) | (k >= off + span)
+            if c.valid is not None:
+                bad = bad & c.valid
+            oob = bad if oob is None else (oob | bad)
+            code = jnp.clip(k - off, 0, span - 1).astype(jnp.int32)
+            if c.valid is not None:
+                code = jnp.where(c.valid, code, r - 1)
+        gid = code if gid is None else gid * r + code
+    if oob is None:
+        oob = jnp.zeros(gid.shape, jnp.bool_)
+    return gid, total, radices, offsets, oob
+
+
 def dense_gid(key_cols: list[SCol]):
     """Mixed-radix dense group id, or None if domains too large."""
     total = 1

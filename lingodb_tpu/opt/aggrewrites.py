@@ -317,3 +317,51 @@ def split_distinct_aggregates(plan: L.LogicalOp, catalog=None) -> L.LogicalOp:
         return L.Aggregate(inner, list(op.group_by), outer_aggs, op.group_cols)
 
     return rec(plan)
+
+
+def eliminate_singleton_agg(plan: L.LogicalOp, catalog) -> L.LogicalOp:
+    """Drop aggregates whose groups provably hold exactly ONE row.
+
+    When the group keys functionally determine a unique key of the input
+    (constraints.collect_fds), every group is a singleton: sum/min/max/
+    any_value are the identity (cast to the output type), count_star and
+    count(non-nullable) are 1. The Aggregate becomes a Map, skipping the
+    whole grouping machinery — the shape eager_fact_preagg leaves behind on
+    Q10-class plans (outer re-aggregation of a pre-aggregated fact joined
+    through unique keys: ~1M-row sort for nothing). Reference analogue:
+    the reference's hash table degenerates gracefully per-tuple
+    (Hashtable.cpp); the TPU build must not pay a 1M-row lax.sort for it.
+    """
+    from ..plan.exprs import Cast, ColRef, Const
+    from .constraints import collect_fds
+
+    def rec(op: L.LogicalOp) -> L.LogicalOp:
+        op = op.replace_children([rec(c) for c in op.children()])
+        if not isinstance(op, L.Aggregate) or not op.group_by:
+            return op
+        if any(a.fn not in ("sum", "min", "max", "any_value",
+                            "count", "count_star") for a in op.aggs):
+            return op
+        fds = collect_fds(op.child, catalog)
+        if fds.key is None or not (fds.key <= fds.expand(set(op.group_by))):
+            return op
+        ctypes = {c.cid: c.type for c in op.child.output_cols()}
+        computed = []
+        for a in op.aggs:
+            if a.fn == "count_star":
+                computed.append((a.out, Const(1, a.out.type)))
+                continue
+            at = ctypes.get(a.arg)
+            if at is None:
+                return op
+            if a.fn == "count":
+                if at.nullable:
+                    return op  # would need a conditional; not worth it
+                computed.append((a.out, Const(1, a.out.type)))
+                continue
+            src = ColRef(a.arg, at)
+            e = src if at == a.out.type else Cast(src, a.out.type)
+            computed.append((a.out, e))
+        return L.Map(op.child, computed)
+
+    return rec(plan)

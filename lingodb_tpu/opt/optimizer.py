@@ -38,6 +38,7 @@ def optimize(plan: L.LogicalOp, catalog) -> L.LogicalOp:
             node.holder.plan = optimize(node.holder.plan, catalog)
 
     from .aggrewrites import (eager_aggregation, eager_fact_preagg,
+                              eliminate_singleton_agg,
                               split_distinct_aggregates)
     from .constraints import expand_transitive_equalities, reduce_group_keys
     from .cse import eliminate_common_subtrees
@@ -68,6 +69,11 @@ def optimize(plan: L.LogicalOp, catalog) -> L.LogicalOp:
         # fact spine as the aggregate's direct join child), so it runs
         # after ordering
         ("eager-fact-preagg", lambda p: eager_fact_preagg(p, catalog)),
+        # aggregates whose groups are provably singletons (group keys
+        # determine a unique key — the outer re-aggregation left behind by
+        # eager-fact-preagg) become Maps: identity values, count=1
+        ("eliminate-singleton-agg",
+         lambda p: eliminate_singleton_agg(p, catalog)),
         # collapse alpha-equivalent duplicated subtrees (CTE/view clones) onto
         # shared Tmp materializations (reference: CommonSubtreeElimination +
         # IntroduceTmp, Passes.cpp:46-47)

@@ -263,6 +263,9 @@ class Executor:
 
     # ------------------------------------------------------------- unary ops
     def _run_select(self, op: L.Select) -> VTable:
+        fused = self._try_fused_chain(op)
+        if fused is not None:
+            return fused
         vt = self.run(op.child)
         if vt.num_rows == 0:
             return vt
@@ -367,7 +370,9 @@ class Executor:
         while isinstance(node, L.Map):
             maps.append(node)
             node = node.children()[0]
-        if not isinstance(node, L.Aggregate) or not node.group_by:
+        is_agg = isinstance(node, L.Aggregate) and node.group_by
+        is_chain = isinstance(node, (L.Select, L.Join))
+        if not (is_agg or is_chain):
             return None
         k = op.offset + op.n
         if k <= 0 or k > (1 << 13):
@@ -382,7 +387,10 @@ class Executor:
             "kk": kk,
             "out_cids": [c.cid for c in op.child.output_cols()],
         }
-        res = self._try_fused_agg(node, epi=epi)
+        if is_agg:
+            res = self._try_fused_agg(node, epi=epi)
+        else:
+            res = self._try_fused_chain(node, epi=epi)
         if res is None:
             return None
         vt, applied = res
@@ -558,7 +566,7 @@ class Executor:
             names.append(cid_to_name[bexpr.cid])
         return bool(names) and entry.index_on(names) is not None
 
-    def _prep_fused_join(self, jop, build_plan, build_is_right, agg_op,
+    def _prep_fused_join(self, jop, build_plan, build_is_right, needed_cids,
                          sorted_cids=frozenset()):
         """Validate + materialize one dimension join for the fused pipeline.
         Returns None when the join can't be a static-shape unique-key lookup.
@@ -583,7 +591,7 @@ class Executor:
                 return None
             import jax as _jax
 
-            needed = self._agg_subtree_used_cids(agg_op) & build_cids
+            needed = needed_cids & build_cids
             payloads, arrays = [], []
             present = bvt.num_rows == 1
             for cid in sorted(needed):
@@ -729,7 +737,7 @@ class Executor:
             skeys_or_lut = skeys
 
         # payload columns referenced downstream of this join
-        needed = self._agg_subtree_used_cids(agg_op) & build_cids
+        needed = needed_cids & build_cids
         payloads = []
         arrays = [skeys_or_lut]
         for cid in sorted(needed):
@@ -790,6 +798,857 @@ class Executor:
         walk(op.child)
         return used
 
+    def _try_fused_chain(self, op, epi=None):
+        """Compile a Scan -> [Select/Map/dimension-Join]* chain with NO
+        aggregate on top into ONE jitted program emitting the surviving
+        rows of every output column, compacted to a LEARNED capacity.
+
+        This is the materialize-terminated counterpart of _try_fused_agg:
+        eager multi-join chains (Q2's body; the build sides of Q5/Q7/Q9's
+        aggregate spines) paid one-to-several host syncs per join — ~15-30
+        tunnel round trips per query at SF1 (r4). The reference compiles
+        the same chains into the single per-morsel program
+        (SubOpToControlFlow.cpp:1158-1685).
+
+        Mechanics shared with the fused aggregate: spine walk, unique-key
+        dimension join preps, sample-estimated lead compaction, learned
+        post-join mid compaction, per-join-step survivor counts, overflow
+        flags, executable store. The tail differs: a final Pallas
+        compaction gathers the output columns at the survivor positions
+        (capacity = 4x pow2 of the learned survivor count, adaptively
+        rebuilt on overflow); when survivors exceed half the spine the
+        program emits full-width masked lanes instead and the finish does
+        one eager select_mask."""
+        from ..plan.serial import plan_key
+        from . import device as dv
+
+        want_pair = epi is not None
+
+        def _ret(vt, applied=False):
+            return (vt, applied) if want_pair else vt
+
+        if dv.get_mesh() is not None:
+            return None  # mesh execution routes through the sharded paths
+        if getattr(self, "_in_fused_chain", False):
+            return None
+        steps, cur = self._walk_spine(op)
+        if not any(st[0] == "join" for st in steps):
+            return None
+        if not isinstance(cur, L.Scan):
+            return None  # materialized bases recurse here on their own top
+        entry = self.session.catalog.get_table(cur.table)
+        if entry is None or entry.storage.num_rows == 0:
+            return None
+        versions = tuple(sorted(self._subtree_versions(op)))
+        basekey = ("fused_chain", plan_key(op), versions)
+        cache = self.session.stage_cache
+        if cache.get(basekey) == "eager":
+            return None
+        if epi is not None and cache.get(("fused_epi_decline", basekey)):
+            epi = None
+        dev = self.session.device_table(cur.table)
+        n = dev["__num_rows__"]
+        if n < dv.SMALL_ROWS:
+            return None
+        pad_mask = dev["__pad_mask__"]
+        base_cols = [(c.cid, dev[c.name]) for c in cur.cols]
+        base_restrictions = cur.restrictions
+
+        out_infos = op.output_cols()
+        out_cids = [c.cid for c in out_infos]
+        # columns any step consumes (for prep payload selection)
+        needed = set(out_cids)
+        for st in steps:
+            if st[0] == "sm":
+                if isinstance(st[1], L.Select):
+                    needed |= E.used_cols(st[1].predicate)
+                else:
+                    for _i2, e2 in st[1].computed:
+                        needed |= E.used_cols(e2)
+            elif st[1].predicate is not None:
+                needed |= E.used_cols(st[1].predicate)
+
+        snames = set(entry.storage.sorted_cols)
+        sorted_cids = frozenset(c.cid for c in cur.cols if c.name in snames)
+        prep_key = ("fused_prep", basekey)
+        join_preps = cache.get(prep_key)
+        if join_preps is None:
+            join_preps = {}
+            self._in_fused_chain = True
+            try:
+                for si, st in enumerate(steps):
+                    if st[0] != "join":
+                        continue
+                    prep = self._prep_fused_join(st[1], st[2], st[3],
+                                                 needed, sorted_cids)
+                    if prep is None:
+                        cache[basekey] = "eager"
+                        return None
+                    join_preps[si] = prep
+            finally:
+                self._in_fused_chain = False
+            cache[prep_key] = join_preps
+
+        from ..utils import capstore
+
+        outcap_obs = cache.get(("fused_outcap", basekey))
+        if outcap_obs is None:
+            st_ = capstore.get("outcap::" + repr((basekey, n)))
+            if st_ is not None:
+                outcap_obs = int(st_)
+                cache[("fused_outcap", basekey)] = outcap_obs
+        stepcaps = cache.get(("fused_stepcaps", basekey))
+        if stepcaps is None:
+            stored_sc = capstore.get("stepcaps::" + repr((basekey, n)))
+            if stored_sc:
+                stepcaps = {int(k2): int(v2)
+                            for k2, v2 in stored_sc.items()}
+                cache[("fused_stepcaps", basekey)] = stepcaps
+
+        # lead compaction from sample-estimated scan selectivity (same
+        # policy as the fused aggregate)
+        first_join = next(
+            (si for si, st in enumerate(steps) if st[0] == "join"), None)
+        lead = first_join if first_join is not None else 0
+        compact_k = None
+        if (first_join is not None and n >= dv.SMALL_ROWS * 8
+                and not cache.get(("fused_nocompact", basekey))):
+            from ..opt.cardinality import scan_selectivity
+
+            sel = scan_selectivity(entry, cur, list(base_restrictions))
+            for st in steps[:lead]:
+                if st[0] == "sm" and isinstance(st[1], L.Select):
+                    sel *= scan_selectivity(
+                        entry, cur, E.conjuncts(st[1].predicate))
+            est = int(n * sel * 2) + 8192
+            k = -(-est // 65536) * 65536
+            if k <= n // 2:
+                compact_k = k
+
+        join_sis = [si for si, st in enumerate(steps)
+                    if st[0] == "join"
+                    and st[1].kind in ("inner", "semi", "anti")]
+        mid_caps = {}
+        if stepcaps:
+            size = compact_k or n
+            for si in join_sis:
+                obs = stepcaps.get(si)
+                if obs is None:
+                    continue
+                capv = 1 << (max(4 * obs, dv.SMALL_ROWS) - 1).bit_length()
+                if capv <= size // 8:
+                    mid_caps[si] = capv
+                    size = capv
+
+        # used_from suffix sets for compaction points
+        used_from = [set() for _ in range(len(steps) + 1)]
+        used_from[len(steps)] = set(out_cids)
+        for si in range(len(steps) - 1, -1, -1):
+            u = set(used_from[si + 1])
+            st = steps[si]
+            if st[0] == "sm":
+                if isinstance(st[1], L.Select):
+                    u |= E.used_cols(st[1].predicate)
+                else:
+                    for _i2, e2 in st[1].computed:
+                        u |= E.used_cols(e2)
+            else:
+                p = join_preps[si]
+                if p.get("probe_expr") is not None:
+                    u |= E.used_cols(p["probe_expr"])
+                if p.get("probe_expr2") is not None:
+                    u |= E.used_cols(p["probe_expr2"])
+                for r in p.get("residual", ()):
+                    u |= E.used_cols(r)
+            used_from[si] = u
+        used_after = used_from[lead]
+
+        calibrating = outcap_obs is None
+        outcap = None
+        do_compact = False
+        if not calibrating:
+            final_n = compact_k or n
+            for si in join_sis:
+                if si in mid_caps:
+                    final_n = mid_caps[si]
+            outcap = 1 << (max(4 * outcap_obs, dv.SMALL_ROWS)
+                           - 1).bit_length()
+            do_compact = outcap <= final_n // 2
+        if calibrating:
+            key = basekey + ("cal",)
+        elif epi is not None:
+            key = basekey + ("epi", plan_key(epi["node"]))
+        else:
+            key = basekey
+
+        templates = base_cols
+        arrays = []
+        for _cid, t in templates:
+            arrays.append(t.data)
+            if t.valid is not None:
+                arrays.append(t.valid)
+        if pad_mask is not None:
+            arrays.append(pad_mask)
+        for si, st in enumerate(steps):
+            if st[0] == "join":
+                arrays.extend(join_preps[si]["arrays"])
+
+        if key not in cache:
+            meta = {"compact_k": compact_k, "outcap": outcap,
+                    "do_compact": do_compact, "calibrating": calibrating}
+
+            def fn(*arrs):
+                _ovf_ctx = pgather.collect_ovf()
+                _ovf_sink = _ovf_ctx.__enter__()
+                try:
+                    env = {}
+                    i = 0
+                    for cid, t in templates:
+                        data = arrs[i]
+                        i += 1
+                        valid = None
+                        if t.valid is not None:
+                            valid = arrs[i]
+                            i += 1
+                        env[cid] = SCol(t.type, data, valid, t.dictionary)
+                    mask = arrs[i] if pad_mask is not None else None
+                    if mask is not None:
+                        i += 1
+                    for r in base_restrictions:
+                        m = sc.truth_mask(sc.eval_expr(r, env))
+                        mask = m if mask is None else mask & m
+                    cur_n = n
+                    extra = ()
+                    extras_desc = []
+                    step_counts = []
+
+                    def _compact(env, mask, capv, used_cols):
+                        sel_count, idx = pgather.nonzero_positions(mask, capv)
+                        fetch = []
+                        for cid, c in env.items():
+                            if cid not in used_cols or c.data.ndim == 0:
+                                continue
+                            fetch.append(c.data)
+                            if c.valid is not None:
+                                fetch.append(c.valid)
+                        fetched = pgather.take_fast_multi(
+                            fetch, idx, monotone=True, conservative=True)
+                        fi = 0
+                        newenv = {}
+                        for cid, c in env.items():
+                            if cid not in used_cols or c.data.ndim == 0:
+                                newenv[cid] = c
+                                continue
+                            data = fetched[fi]
+                            fi += 1
+                            valid = None
+                            if c.valid is not None:
+                                valid = fetched[fi]
+                                fi += 1
+                            newenv[cid] = SCol(c.type, data, valid,
+                                               c.dictionary)
+                        newmask = jnp.arange(capv, dtype=jnp.int64) < sel_count
+                        return newenv, newmask, sel_count
+
+                    for si, step in enumerate(steps):
+                        if (compact_k is not None and si == lead
+                                and mask is not None and mask.ndim != 0):
+                            env, mask, sel_count = _compact(
+                                env, mask, compact_k, used_after)
+                            cur_n = compact_k
+                            extra = extra + (sel_count,)
+                            extras_desc.append(("lead", compact_k))
+                        if step[0] == "sm" and isinstance(step[1], L.Select):
+                            m = sc.truth_mask(
+                                sc.eval_expr(step[1].predicate, env))
+                            mask = m if mask is None else mask & m
+                        elif step[0] == "sm":
+                            for info, e in step[1].computed:
+                                env[info.cid] = sc.eval_expr(e, env)
+                        else:
+                            prep = join_preps[si]
+                            nargs = len(prep["arrays"])
+                            mask = _fused_join_step(
+                                prep, arrs[i:i + nargs], env, mask, cur_n)
+                            i += nargs
+                            if si in join_sis:
+                                if mask is None:
+                                    step_counts.append(
+                                        jnp.asarray(cur_n, jnp.int64))
+                                elif mask.ndim == 0:
+                                    step_counts.append(jnp.where(
+                                        mask, jnp.int64(cur_n), jnp.int64(0)))
+                                else:
+                                    step_counts.append(
+                                        jnp.sum(mask.astype(jnp.int64)))
+                            if (si in mid_caps and mask is not None
+                                    and mask.ndim != 0):
+                                capv = mid_caps[si]
+                                env, mask, sel_count = _compact(
+                                    env, mask, capv, used_from[si + 1])
+                                cur_n = capv
+                                extra = extra + (sel_count,)
+                                extras_desc.append(("mid", si, capv))
+                    meta["extras"] = tuple(extras_desc)
+                    meta["join_sis"] = tuple(join_sis)
+                    if not any(d[0] == "lead" for d in extras_desc):
+                        meta["compact_k"] = None
+                    if mask is None:
+                        mask = jnp.ones((cur_n,), jnp.bool_)
+                    elif mask.ndim == 0:
+                        mask = jnp.broadcast_to(mask, (cur_n,))
+                    survivors = jnp.sum(mask.astype(jnp.int64))
+                    if calibrating:
+                        _ovf_ctx.__exit__(None, None, None)
+                        flag = _ovf_bitmask(_ovf_sink)
+                        return (extra + (survivors,)
+                                + tuple(step_counts) + (flag,))
+                    out_templates = []
+                    if epi is not None:
+                        # in-program TopK over the chain (row space): rank
+                        # surviving rows by the primary sort key, emit only
+                        # the top-kk candidates; exactness via the tie
+                        # count, as in the aggregate epilogue
+                        for m_ in epi["maps"]:
+                            for info, e in m_.computed:
+                                env[info.cid] = sc._bcast(
+                                    sc.eval_expr(e, env), cur_n)
+                        k0 = epi["node"].keys[0]
+                        prio = keymod.topk_priority(
+                            env[k0.cid], k0.ascending, k0.nulls_first, mask)
+                        if prio is None:
+                            raise _NotDense("chain topk: no order image")
+                        kk = min(epi["kk"], cur_n)
+                        vals, cand = jax.lax.top_k(prio, kk)
+                        cutoff = vals[kk - 1]
+                        tie_cnt = jnp.sum(((prio >= cutoff) & mask)
+                                          .astype(jnp.int64))
+                        lanes = []
+                        for cid in epi["out_cids"]:
+                            c = sc._bcast(env[cid], cur_n)
+                            lanes.append(jnp.take(c.data, cand, mode="clip"))
+                            if c.valid is not None:
+                                lanes.append(jnp.take(c.valid, cand,
+                                                      mode="clip"))
+                            out_templates.append(
+                                (cid, c.type, c.dictionary,
+                                 c.valid is not None))
+                        meta["templates"] = out_templates
+                        meta["epi"] = {"kk": kk, "k": epi["k"]}
+                        _ovf_ctx.__exit__(None, None, None)
+                        flag = _ovf_bitmask(_ovf_sink)
+                        return (extra + (survivors, tie_cnt) + tuple(lanes)
+                                + tuple(step_counts) + (flag,))
+                    if do_compact:
+                        sel_count, idx = pgather.nonzero_positions(
+                            mask, outcap)
+                        fetch = []
+                        for cid in out_cids:
+                            c = sc._bcast(env[cid], cur_n)
+                            fetch.append(c.data)
+                            if c.valid is not None:
+                                fetch.append(c.valid)
+                            out_templates.append(
+                                (cid, c.type, c.dictionary,
+                                 c.valid is not None))
+                        lanes = pgather.take_fast_multi(
+                            fetch, idx, monotone=True, conservative=True)
+                        _ovf_ctx.__exit__(None, None, None)
+                        flag = _ovf_bitmask(_ovf_sink)
+                        meta["templates"] = out_templates
+                        return (extra + (survivors,) + tuple(lanes)
+                                + tuple(step_counts) + (flag,))
+                    lanes = []
+                    for cid in out_cids:
+                        c = sc._bcast(env[cid], cur_n)
+                        lanes.append(c.data)
+                        if c.valid is not None:
+                            lanes.append(c.valid)
+                        out_templates.append(
+                            (cid, c.type, c.dictionary, c.valid is not None))
+                    meta["templates"] = out_templates
+                    _ovf_ctx.__exit__(None, None, None)
+                    flag = _ovf_bitmask(_ovf_sink)
+                    return (extra + (survivors,) + tuple(lanes) + (mask,)
+                            + tuple(step_counts) + (flag,))
+                finally:
+                    _ovf_ctx.__exit__(None, None, None)
+
+            nopallas = bool(cache.get(("fused_nopallas", basekey)))
+            from . import exestore
+
+            exe_mat = (key,
+                       tuple((tuple(a.shape), str(a.dtype)) for a in arrays),
+                       compact_k, tuple(sorted(mid_caps.items())),
+                       outcap, do_compact, nopallas,
+                       pgather.FORCE_PALLAS, dv.SMALL_ROWS)
+            exe_k = exestore.make_key(exe_mat)
+            hit = exestore.get(exe_k)
+            if hit is not None:
+                compiled, meta = hit
+                try:
+                    t_c0 = self._perf_sync()
+                    result = compiled(*arrays)
+                    jax.block_until_ready(result)
+                    cache[key] = (compiled, meta, None)
+                    self._perf_note(
+                        f"fused_chain exe-store hit (no trace) "
+                        f"{(self._perf_sync() - t_c0):.1f}s n={n}")
+                except Exception:
+                    hit = None
+            if hit is None:
+                try:
+                    t_c0 = self._perf_sync()
+
+                    def _lower_compile():
+                        if nopallas:
+                            old_force = pgather.FORCE_PALLAS
+                            pgather.FORCE_PALLAS = False
+                            try:
+                                return jax.jit(fn).lower(*arrays).compile()
+                            finally:
+                                pgather.FORCE_PALLAS = old_force
+                        return jax.jit(fn).lower(*arrays).compile()
+
+                    try:
+                        compiled = _lower_compile()
+                        result = compiled(*arrays)
+                    except Exception as ce:
+                        if "remote_compile" not in repr(ce):
+                            raise
+                        self._perf_note("fused_chain remote compile died; "
+                                        "retrying once")
+                        compiled = _lower_compile()
+                        result = compiled(*arrays)
+                    cache[key] = (compiled, meta, None)
+                    if not calibrating:
+                        exestore.put(exe_k, compiled, meta)
+                    self._perf_note(
+                        f"fused_chain compile+first-run "
+                        f"{(self._perf_sync() - t_c0):.1f}s n={n} "
+                        f"compact_k={compact_k} outcap={outcap} "
+                        f"do_compact={do_compact}")
+                except Exception as fe:
+                    self._perf_note(f"fused_chain DECLINED (trace/compile): "
+                                    f"{type(fe).__name__}: {str(fe)[:160]}")
+                    cache[basekey] = "eager"
+                    return None
+        else:
+            compiled, meta, _t = cache[key]
+            result = compiled(*arrays)
+
+        compiled, meta, _t = cache[key]
+        try:
+            out = self._finish_fused_chain(op, result, meta, basekey,
+                                           key, cache, n, epi)
+            if isinstance(out, VTable):
+                return _ret(out, meta.get("epi") is not None)
+            return out  # recursion result: already has the right shape
+        except _CompactOverflow:
+            cache[("fused_nocompact", basekey)] = True
+            cache.pop(key, None)
+            return self._try_fused_chain(op, epi)
+        except _MidCompactOverflow as mo:
+            si_o, v_o = mo.args
+            stepcaps2 = dict(cache.get(("fused_stepcaps", basekey)) or {})
+            stepcaps2[si_o] = int(v_o)
+            cache[("fused_stepcaps", basekey)] = stepcaps2
+            capstore.put("stepcaps::" + repr((basekey, n)),
+                         {str(k2): int(v2)
+                          for k2, v2 in stepcaps2.items()})
+            cache.pop(key, None)
+            self._perf_note(f"fused_chain mid-compaction cap exceeded at "
+                            f"step {si_o} (count={v_o}); rebuilding")
+            return self._try_fused_chain(op, epi)
+        except _CapacityOverflow as ce:
+            g_real = ce.args[0]
+            cache[("fused_outcap", basekey)] = g_real
+            capstore.put("outcap::" + repr((basekey, n)), int(g_real))
+            cache.pop(key, None)
+            self._perf_note(f"fused_chain output capacity exceeded "
+                            f"(count={g_real}); rebuilding")
+            return self._try_fused_chain(op, epi)
+        except _GatherOverflow as ge:
+            self._perf_note(f"fused_chain gather overflow mask="
+                            f"{bin(ge.args[0] if ge.args else 0)}: retrying "
+                            f"without Pallas kernels")
+            cache[("fused_nopallas", basekey)] = True
+            cache.pop(key, None)
+            return self._try_fused_chain(op, epi)
+        except _EpiOverflow as eo:
+            self._perf_note(f"fused_chain topk epilogue declined: "
+                            f"{eo.args[0] if eo.args else ''}")
+            cache[("fused_epi_decline", basekey)] = True
+            cache.pop(key, None)
+            return self._try_fused_chain(op, epi)
+
+    def _finish_fused_chain(self, op, result, meta, basekey, key, cache,
+                            n, epi=None):
+        from . import device as dv
+        from ..utils import capstore
+
+        n_sc = len(meta.get("join_sis", ()))
+        off = len(meta.get("extras", ()))
+        lane_end = -1 - n_sc
+        n_head = off + (2 if meta.get("epi") is not None else 1)
+        fetch = {str(i_): result[i_] for i_ in range(n_head)}
+        fetch["govf"] = result[-1]
+        for j in range(n_sc):
+            fetch[f"sc{j}"] = result[lane_end + j]
+        scalars = dv.fetch_arrays_np(fetch)
+        govf = int(np.asarray(scalars["govf"]).reshape(-1)[0])
+        if govf > 0:
+            raise _GatherOverflow(govf)
+        self._check_fused_extras(meta, [
+            int(np.asarray(scalars[str(j)]).reshape(-1)[0])
+            for j in range(off)])
+        if n_sc:
+            meta["last_stepcounts"] = {
+                si: int(np.asarray(scalars[f"sc{j}"]).reshape(-1)[0])
+                for j, si in enumerate(meta["join_sis"])}
+        survivors = int(np.asarray(scalars[str(off)]).reshape(-1)[0])
+        if meta.get("calibrating"):
+            cache[("fused_outcap", basekey)] = survivors
+            capstore.put("outcap::" + repr((basekey, n)), survivors)
+            if n_sc:
+                counts = meta.get("last_stepcounts") or {}
+                cache[("fused_stepcaps", basekey)] = counts
+                capstore.put("stepcaps::" + repr((basekey, n)),
+                             {str(k2): v2 for k2, v2 in counts.items()})
+            cache.pop(key, None)
+            self._perf_note(f"fused_chain calibrated: survivors={survivors}"
+                            f" stepcounts={meta.get('last_stepcounts')}")
+            return self._try_fused_chain(op, epi)
+        if meta.get("epi") is not None:
+            kk = meta["epi"]["kk"]
+            tie_cnt = int(np.asarray(scalars[str(off + 1)]).reshape(-1)[0])
+            if survivors > kk and tie_cnt > kk:
+                raise _EpiOverflow(
+                    f"tie overflow at cutoff ({tie_cnt} > {kk})")
+            self._learn_stepcaps(basekey, key, cache, meta, n)
+            if self.track_tuples is not None:
+                self.track_tuples[id(op)] = survivors
+            tmpl = meta["templates"]
+            if survivors == 0:
+                return VTable({cid: _empty_scol(t)
+                               for cid, t, _d, _v in tmpl}, 0)
+            ncand = min(survivors, kk)
+            sliced = _slice_exact(tuple(result[off + 2:lane_end]), ncand)
+            cols = {}
+            i = 0
+            for cid, t, d, has_valid in tmpl:
+                data = sliced[i]
+                i += 1
+                valid = None
+                if has_valid:
+                    valid = sliced[i]
+                    i += 1
+                cols[cid] = SCol(t, data, valid, d)
+            return VTable(cols, ncand)
+        if meta.get("do_compact") and survivors > meta.get("outcap", 0):
+            raise _CapacityOverflow(survivors)
+        self._learn_stepcaps(basekey, key, cache, meta, n)
+        if self.track_tuples is not None:
+            self.track_tuples[id(op)] = survivors
+        tmpl = meta["templates"]
+        if meta.get("do_compact"):
+            lanes = tuple(result[off + 1:lane_end])
+            if survivors == 0:
+                return VTable({cid: _empty_scol(t)
+                               for cid, t, _d, _v in tmpl}, 0)
+            sliced = _slice_exact(lanes, survivors)
+            cols = {}
+            i = 0
+            for cid, t, d, has_valid in tmpl:
+                data = sliced[i]
+                i += 1
+                valid = None
+                if has_valid:
+                    valid = sliced[i]
+                    i += 1
+                cols[cid] = SCol(t, data, valid, d)
+            return VTable(cols, survivors)
+        # full-width variant: one eager select_mask over the masked lanes
+        lanes = tuple(result[off + 1:lane_end - 1])
+        mask_lane = result[lane_end - 1]
+        cur_n = int(mask_lane.shape[0])
+        cols = {}
+        i = 0
+        for cid, t, d, has_valid in tmpl:
+            data = lanes[i]
+            i += 1
+            valid = None
+            if has_valid:
+                valid = lanes[i]
+                i += 1
+            cols[cid] = SCol(t, data, valid, d)
+        vt = VTable(cols, cur_n)
+        return vt.select_mask(mask_lane)
+
+    def _try_chunked_agg(self, op, steps, scan) -> Optional[VTable]:
+        """Out-of-core streaming scan+aggregate: when the scan columns
+        exceed the device byte budget, stream the base table in fixed-size
+        chunks through HBM (async H2D prefetch of chunk i+1 overlapping
+        chunk i's compute) and combine per-chunk dense aggregates on the
+        host. One compiled program serves every chunk (static shapes).
+
+        Scope: Scan -> Select/Map* -> dense/global Aggregate (the q1/q6
+        shape) — exactly where beyond-HBM tables first bite. Reference
+        analogue: morsel-driven scans are size-oblivious by construction
+        (src/runtime/storage/LingoDBTable.cpp:360-470); here the morsel is
+        an HBM-sized chunk and the merge is the host-side combine (the
+        ThreadLocal::merge role)."""
+        from . import device as dv
+        from ..utils.settings import get_setting
+
+        if dv.get_mesh() is not None:
+            return None
+        entry = self.session.catalog.get_table(scan.table)
+        if entry is None or entry.storage.num_rows == 0:
+            return None
+        rows = entry.storage.num_rows
+        cols = [entry.storage.column(c.name) for c in scan.cols]
+        width = 0
+        for c in cols:
+            if c.data.dtype == np.object_:
+                return None  # wide host decimals: no device image
+            width += c.data.dtype.itemsize + (1 if c.valid is not None else 0)
+        budget = int(get_setting("system.device_byte_budget"))
+        if rows * width <= budget:
+            return None
+        if any(a.distinct for a in op.aggs):
+            return None
+        if any(a.fn not in ("sum", "count", "count_star", "min", "max",
+                            "any_value") for a in op.aggs):
+            return None
+        radices = []
+        domain = 1
+        key_templates = []
+        col_of = {c.cid: i for i, c in enumerate(scan.cols)}
+        for cid in op.group_by:
+            i = col_of.get(cid)
+            if i is None:
+                return None  # map-computed group key: not streamed (v1)
+            col = cols[i]
+            d = gb.small_domain(SCol(col.type, col.data, col.valid,
+                                     col.dictionary))
+            if d is None:
+                return None
+            radices.append(d)
+            domain *= d
+            key_templates.append((col.type, col.dictionary,
+                                  col.valid is not None))
+        if domain > gb.DENSE_DOMAIN_LIMIT:
+            return None
+
+        m = max(1 << 18, (budget // 3) // max(width, 1))
+        m = 1 << (m.bit_length() - 1)  # pow2 floor
+        n_chunks = -(-rows // m)
+        self._perf_note(f"chunked_agg engaging: rows={rows} width={width}B "
+                        f"chunk={m} chunks={n_chunks}")
+
+        templates = [(info.cid, col.type, col.dictionary,
+                      col.valid is not None)
+                     for info, col in zip(scan.cols, cols)]
+        meta = {"mode": "dense", "domain": domain, "radices": radices,
+                "key_templates": key_templates, "extras": (),
+                "join_sis": (), "agg_dicts": {}, "agg_limbs": set(),
+                "key_offsets": None}
+        kinds = ["sum"]  # the `present` lane
+        for spec in op.aggs:
+            if spec.fn in ("count_star", "count"):
+                kinds += ["sum", "sum"]
+            elif spec.fn == "sum":
+                if (spec.out.type.kind == K.DECIMAL
+                        and dec_is_wide(spec.out.type)):
+                    kinds += ["limb", "lo", "sum"]
+                else:
+                    kinds += ["sum", "sum"]
+            elif spec.fn == "min":
+                kinds += ["min", "sum"]
+            else:  # max / any_value
+                kinds += ["max", "sum"]
+
+        def fn(nvalid, *arrs):
+            env = {}
+            i = 0
+            for cid, t, d, hv in templates:
+                data = arrs[i]
+                i += 1
+                valid = None
+                if hv:
+                    valid = arrs[i]
+                    i += 1
+                env[cid] = SCol(t, data, valid, d)
+            mask = jnp.arange(m, dtype=jnp.int64) < nvalid
+            for r in scan.restrictions:
+                mask = mask & sc.truth_mask(sc.eval_expr(r, env))
+            for st in steps:
+                node = st[1]
+                if isinstance(node, L.Select):
+                    mask = mask & sc.truth_mask(
+                        sc.eval_expr(node.predicate, env))
+                else:
+                    for info, e in node.computed:
+                        env[info.cid] = sc.eval_expr(e, env)
+            if op.group_by:
+                key_cols = [sc._bcast(env[c], m) for c in op.group_by]
+                gid, dom2 = gb.dense_gid(key_cols)
+            else:
+                gid = jnp.zeros((m,), jnp.int32)
+
+            def msum(w):
+                wm = jnp.where(mask, w, jnp.zeros_like(w))
+                return be.segment_sum(wm, gid, num_segments=domain)
+
+            ones = jnp.ones((m,), jnp.int64)
+            outs = [msum(ones)]
+            for spec in op.aggs:
+                arg = None if spec.arg is None else sc._bcast(env[spec.arg], m)
+                if spec.fn == "count_star":
+                    outs.append(outs[0])
+                    outs.append(outs[0])
+                    continue
+                avalid = arg.valid
+                vm = ones if avalid is None else avalid.astype(jnp.int64)
+                cnt = msum(vm)
+                if spec.fn == "count":
+                    outs.append(cnt)
+                    outs.append(cnt)
+                    continue
+                if spec.fn == "sum":
+                    data = arg.data.astype(jnp_dtype(spec.out.type))
+                    if avalid is not None:
+                        data = jnp.where(avalid, data, jnp.zeros_like(data))
+                    if (spec.out.type.kind == K.DECIMAL
+                            and dec_is_wide(spec.out.type)
+                            and data.dtype == jnp.int64):
+                        meta["agg_limbs"].add(spec.out.cid)
+                        outs.append(msum(data >> jnp.int64(32)))
+                        outs.append(msum(data & jnp.int64(0xFFFFFFFF)))
+                        outs.append(cnt)
+                        continue
+                    outs.append(msum(data))
+                    outs.append(cnt)
+                    continue
+                sentinel = gb._extreme(arg.data.dtype,
+                                       maximum=(spec.fn == "min"))
+                keep = mask if avalid is None else (mask & avalid)
+                data = jnp.where(keep, arg.data, sentinel)
+                red = (be.segment_min if spec.fn == "min"
+                       else be.segment_max)(data, gid, num_segments=domain)
+                meta["agg_dicts"][spec.out.cid] = arg.dictionary
+                outs.append(red)
+                outs.append(cnt)
+            return tuple(outs)
+
+        import jax as _jax
+
+        jitted = jax.jit(fn)
+
+        def chunk_args(ci):
+            lo = ci * m
+            hi = min(rows, lo + m)
+            args = []
+            for (cid, t, d, hv), col in zip(templates, cols):
+                a = np.asarray(col.data[lo:hi])
+                if hi - lo < m:
+                    a = np.concatenate([a, np.zeros(m - (hi - lo), a.dtype)])
+                args.append(_jax.device_put(a))
+                if hv:
+                    v = np.asarray(col.valid[lo:hi])
+                    if hi - lo < m:
+                        v = np.concatenate(
+                            [v, np.zeros(m - (hi - lo), np.bool_)])
+                    args.append(_jax.device_put(v))
+            return (hi - lo), args
+
+        def _norm(host):
+            """Chunk lanes -> accumulable form (limb pairs become ONE exact
+            object lane; the placeholder keeps indices aligned)."""
+            out = list(host)
+            for i, k in enumerate(kinds):
+                if k == "limb":
+                    out[i] = (out[i].astype(object) * (1 << 32)
+                              + out[i + 1].astype(object))
+                    out[i + 1] = np.zeros_like(host[i + 1])
+            return out
+
+        acc = None
+        nxt = chunk_args(0)
+        for ci in range(n_chunks):
+            nv, args = nxt
+            out = jitted(jnp.int64(nv), *args)
+            if ci + 1 < n_chunks:
+                nxt = chunk_args(ci + 1)  # async H2D rides the compute
+            host = _norm([np.asarray(x) for x in _jax.device_get(out)])
+            del args, out
+            if acc is None:
+                acc = host
+                continue
+            for i, k in enumerate(kinds):
+                if k in ("sum", "limb"):
+                    acc[i] = acc[i] + host[i]
+                elif k == "min":
+                    acc[i] = np.minimum(acc[i], host[i])
+                elif k == "max":
+                    acc[i] = np.maximum(acc[i], host[i])
+                # "lo": placeholder, stays zero
+        # re-split exact limb totals into (hi, lo) int64 lanes for the
+        # shared dense finish (combine_limbs(hi, lo) == hi*2^32 + lo)
+        for i, k in enumerate(kinds):
+            if k == "limb":
+                tot = acc[i]
+                hi_l = np.array([int(x) >> 32 for x in tot], np.int64)
+                lo_l = np.array([int(x) & 0xFFFFFFFF for x in tot], np.int64)
+                acc[i] = hi_l
+                acc[i + 1] = lo_l
+        host_map = {i: a for i, a in enumerate(acc)}
+        return self._finish_fused_dense(op, host_map, meta, 0)
+
+    def _subtree_max_rows(self, node):
+        if isinstance(node, L.Scan):
+            e = self.session.catalog.get_table(node.table)
+            return e.storage.num_rows if e is not None else 0
+        if isinstance(node, L.Tmp):
+            return self._subtree_max_rows(node.holder.plan)
+        return max((self._subtree_max_rows(c) for c in node.children()),
+                   default=0)
+
+    def _walk_spine(self, root):
+        """Spine walk shared by the fused aggregate and fused chain
+        compilers: Select/Map chain, passing through dimension joins whose
+        build side is the smaller subtree (the probe side continues the
+        spine). Each such join becomes a static-shape lookup inside the
+        fused program when the build keys are unique (FK joins) — the
+        TPU-native equivalent of the reference probing a hash-indexed view
+        inside the per-morsel loop (SubOpToControlFlow.cpp lookup
+        lowering). Returns (steps bottom-up, base node)."""
+        steps = []
+        cur = root
+        while True:
+            if isinstance(cur, (L.Select, L.Map)):
+                steps.append(("sm", cur))
+                cur = cur.children()[0]
+                continue
+            if (isinstance(cur, L.Join)
+                    and cur.kind in ("inner", "semi", "anti", "left", "single")
+                    and getattr(cur, "null_aware", None) is None):
+                lrows = self._subtree_max_rows(cur.left)
+                rrows = self._subtree_max_rows(cur.right)
+                if cur.kind in ("semi", "anti", "left", "single"):
+                    spine, build = cur.left, cur.right  # semantics fix sides
+                elif lrows >= rrows:
+                    spine, build = cur.left, cur.right
+                else:
+                    spine, build = cur.right, cur.left
+                steps.append(("join", cur, build, build is cur.right))
+                cur = spine
+                continue
+            break
+        steps.reverse()
+        return steps, cur
+
     def _try_fused_agg(self, op: L.Aggregate, epi=None):
         """epi (optional): a TopK epilogue to fold INTO the fused program
         (general mode only): {"node": L.TopK, "maps": [L.Map...bottom-up],
@@ -820,14 +1679,6 @@ class Executor:
                             "any_value") for a in op.aggs):
             return None
 
-        def subtree_max_rows(node):
-            if isinstance(node, L.Scan):
-                e = self.session.catalog.get_table(node.table)
-                return e.storage.num_rows if e is not None else 0
-            if isinstance(node, L.Tmp):
-                return subtree_max_rows(node.holder.plan)
-            return max((subtree_max_rows(c) for c in node.children()), default=0)
-
         # mesh scale-out: a large-domain group-by must repartition by key over
         # the mesh (sharded path) instead of the fused program's global sorted
         # grouping, which GSPMD would gather (reference analogue: partitioned
@@ -843,39 +1694,17 @@ class Executor:
                 types[cid].is_string or types[cid].kind == K.BOOL
                 for cid in op.group_by if cid in types
             )
-            if (not dense and subtree_max_rows(op.child)
+            if (not dense and self._subtree_max_rows(op.child)
                     >= int(get_setting("system.shuffle_min_rows"))):
                 return None
 
-        # spine walk: Select/Map chain, passing through dimension joins whose
-        # build side is the smaller subtree (the probe side continues the
-        # spine). Each such join becomes a static-shape lookup inside the
-        # fused program when the build keys are unique (FK joins) — the
-        # TPU-native equivalent of the reference probing a hash-indexed view
-        # inside the per-morsel loop (SubOpToControlFlow.cpp lookup lowering).
-        steps = []
-        cur = op.child
-        while True:
-            if isinstance(cur, (L.Select, L.Map)):
-                steps.append(("sm", cur))
-                cur = cur.children()[0]
-                continue
-            if (isinstance(cur, L.Join)
-                    and cur.kind in ("inner", "semi", "anti", "left", "single")
-                    and getattr(cur, "null_aware", None) is None):
-                lrows, rrows = subtree_max_rows(cur.left), subtree_max_rows(cur.right)
-                if cur.kind in ("semi", "anti", "left", "single"):
-                    spine, build = cur.left, cur.right  # semantics fix sides
-                elif lrows >= rrows:
-                    spine, build = cur.left, cur.right
-                else:
-                    spine, build = cur.right, cur.left
-                steps.append(("join", cur, build, build is cur.right))
-                cur = spine
-                continue
-            break
-        steps.reverse()
-        from . import device as dv
+        steps, cur = self._walk_spine(op.child)
+
+        if isinstance(cur, L.Scan) and all(st[0] == "sm" for st in steps):
+            # beyond-HBM tables: stream the scan in chunks (out-of-core)
+            ck = self._try_chunked_agg(op, steps, cur)
+            if ck is not None:
+                return _ret(ck)
 
         if isinstance(cur, L.Scan):
             scan = cur
@@ -945,8 +1774,9 @@ class Executor:
             for si, st in enumerate(steps):
                 if st[0] != "join":
                     continue
-                prep = self._prep_fused_join(st[1], st[2], st[3], op,
-                                             sorted_cids)
+                prep = self._prep_fused_join(
+                    st[1], st[2], st[3],
+                    self._agg_subtree_used_cids(op), sorted_cids)
                 if prep is None:
                     cache[key] = "eager"
                     return None
@@ -1068,6 +1898,34 @@ class Executor:
                 if capv <= size // 8:
                     mid_caps[si] = capv
                     size = capv
+
+        # learned per-key value bounds: tiny-RANGE integer/date group keys
+        # (Q7/Q9's year x nation) ride the sort-free dense psum path once
+        # their ranges are calibrated (gb.bounded_gid); the bounds come out
+        # of the same count-only calibration program
+        kbounds = None
+        force_cal = False
+        if not cache.get(("fused_kbounds_dead", basekey)):
+            kbounds = cache.get(("fused_kbounds", basekey))
+            if kbounds is None:
+                from ..utils import capstore as _cs
+
+                stored_kb = _cs.get("kbounds::" + repr((basekey, n)))
+                if stored_kb is not None:
+                    kbounds = [tuple(b) if b else None for b in stored_kb]
+                    cache[("fused_kbounds", basekey)] = kbounds
+            if kbounds is None and len(op.group_by) >= 2:
+                # bounds are a calibration product; plans whose group
+                # capacity was already learned (or carried over from the
+                # capstore) never calibrated with bounds support — force
+                # ONE count-only run for multi-key groupings with integer
+                # keys (the Q7/Q9 year x nation shape; single high-card
+                # int keys like orderkey would only waste the run)
+                ktypes = {c.cid: c.type for c in op.child.output_cols()}
+                force_cal = any(
+                    ktypes[cid].kind in (K.INT, K.BIGINT, K.DATE)
+                    and not ktypes[cid].is_string
+                    for cid in op.group_by if cid in ktypes)
 
         templates = base_cols
         arrays = []
@@ -1201,10 +2059,26 @@ class Executor:
                         meta["compact_k"] = None
                     if mask is not None and mask.ndim == 0:
                         mask = jnp.broadcast_to(mask, (cur_n,))
+                    oob_cnt = None
+                    offsets = None
                     if op.group_by:
                         key_cols = [env[c] for c in op.group_by]
                         key_cols = [sc._bcast(c, cur_n) for c in key_cols]
                         gid, domain = gb.dense_gid(key_cols)
+                        radices = None
+                        if gid is None and kbounds is not None:
+                            # learned-bounds dense path (sort-free): codes
+                            # are value - kmin; rows outside the calibrated
+                            # bounds are counted and force a safe rebuild
+                            gid, domain, radices, offsets, oob = \
+                                gb.bounded_gid(key_cols, kbounds)
+                            if gid is not None:
+                                ob = oob if mask is None else (oob & mask)
+                                oob_cnt = jnp.sum(ob.astype(jnp.int64))
+                            elif kbounds is not None:
+                                # learned bounds exist but the domain is
+                                # too large: never try again for this plan
+                                meta["kbounds_useless"] = True
                         if gid is None:
                             meta["mode"] = "general"
                             meta["key_templates"] = [
@@ -1214,19 +2088,50 @@ class Executor:
                             res = extra + _fused_general_group(
                                 op, key_cols, env, mask, cur_n, meta,
                                 presorted=presorted_group,
-                                kg=cache.get(("fused_kg", basekey)))
+                                kg=(None if force_cal else
+                                    cache.get(("fused_kg", basekey))))
                             if epi is not None and not meta.get("calibrating"):
                                 res = _apply_topk_epi(op, epi, res, meta,
                                                       len(extra))
+                            if meta.get("calibrating"):
+                                # piggyback per-key value bounds on the
+                                # count-only program: a later rebuild can
+                                # pick the dense bounded-gid path
+                                kb_outs = []
+                                kb_kinds = []
+                                for c in key_cols:
+                                    if (gb.small_domain(c) is None
+                                            and c.type.kind in (
+                                                K.INT, K.BIGINT, K.DATE)
+                                            and c.data.dtype in (
+                                                jnp.int32, jnp.int64)):
+                                        k64 = c.data.astype(jnp.int64)
+                                        keep = (jnp.ones(k64.shape, jnp.bool_)
+                                                if mask is None else mask)
+                                        if c.valid is not None:
+                                            keep = keep & c.valid
+                                        big = jnp.int64(1) << jnp.int64(62)
+                                        kb_outs.append(jnp.min(
+                                            jnp.where(keep, k64, big)))
+                                        kb_outs.append(jnp.max(
+                                            jnp.where(keep, k64, -big)))
+                                        kb_kinds.append(True)
+                                    else:
+                                        kb_kinds.append(False)
+                                meta["kb_kinds"] = kb_kinds
+                                res = res + tuple(kb_outs)
                             _ovf_ctx.__exit__(None, None, None)
                             flag = _ovf_bitmask(_ovf_sink)
                             return res + tuple(step_counts) + (flag,)
-                        radices = [gb.small_domain(c) for c in key_cols]
+                        if radices is None:
+                            radices = [gb.small_domain(c) for c in key_cols]
                     else:
                         gid = jnp.zeros((cur_n,), jnp.int32)
                         domain, radices = 1, []
                     meta["mode"] = "dense"
                     meta["domain"], meta["radices"] = domain, radices
+                    meta["key_offsets"] = offsets
+                    meta["has_oob"] = oob_cnt is not None
                     meta["key_templates"] = [
                         (env[c].type, env[c].dictionary, env[c].valid is not None)
                         for c in op.group_by
@@ -1289,9 +2194,11 @@ class Executor:
                     extra = tuple(jnp.broadcast_to(e, (domain,)) for e in extra)
                     _ovf_ctx.__exit__(None, None, None)
                     flag = _ovf_bitmask(_ovf_sink)
+                    oob_lane = (() if oob_cnt is None else
+                                (jnp.broadcast_to(oob_cnt, (domain,)),))
                     # (domain,)-shaped like every other lane: the packed fetch
                     # stacks equal shapes
-                    return extra + tuple(outs) + tuple(
+                    return extra + tuple(outs) + oob_lane + tuple(
                         jnp.broadcast_to(c_, (domain,))
                         for c_ in step_counts) + (
                         jnp.broadcast_to(flag, (domain,)),)
@@ -1311,7 +2218,8 @@ class Executor:
                        tuple((tuple(a.shape), str(a.dtype)) for a in arrays),
                        compact_k, tuple(sorted(mid_caps.items())),
                        cache.get(("fused_kg", basekey)), nopallas,
-                       pgather.FORCE_PALLAS, dv.SMALL_ROWS)
+                       pgather.FORCE_PALLAS, dv.SMALL_ROWS,
+                       repr(kbounds), force_cal)
             exe_k = exestore.make_key(exe_mat)
             hit = exestore.get(exe_k)
             if hit is not None:
@@ -1382,14 +2290,16 @@ class Executor:
         try:
             n_sc = len(meta.get("join_sis", ()))
             if meta.get("mode") == "general" and meta.get("calibrating"):
-                # count-only calibration program: learn the group capacity
-                # AND the per-join-step survivor counts, then rebuild the
-                # full program around them (runs ONCE per plan+versions;
-                # both persist beside the compile cache)
+                # count-only calibration program: learn the group capacity,
+                # the per-join-step survivor counts, AND the per-key value
+                # bounds, then rebuild the full program around them (runs
+                # ONCE per plan+versions; all persist beside the compile
+                # cache)
                 import jax as _jax
 
+                n_kb = 2 * sum(1 for x in meta.get("kb_kinds", ()) if x)
                 tail = [np.asarray(a).reshape(-1)[0] for a in _jax.device_get(
-                    list(result[-2 - n_sc:-1]))]
+                    list(result[-2 - n_sc - n_kb:-1]))]
                 g = int(tail[0])
                 tight = 1 << (max(4 * g, dv.SMALL_ROWS) - 1).bit_length()
                 cache[("fused_kg", basekey)] = min(tight, meta.get("n", tight))
@@ -1397,16 +2307,28 @@ class Executor:
                 from ..utils import capstore
 
                 capstore.put(repr((basekey, n)), cache[("fused_kg", basekey)])
+                if n_kb:
+                    it = iter(int(x) for x in tail[1:1 + n_kb])
+                    bounds = [(next(it), next(it)) if flagk else None
+                              for flagk in meta["kb_kinds"]]
+                    cache[("fused_kbounds", basekey)] = bounds
+                    capstore.put("kbounds::" + repr((basekey, n)),
+                                 [list(b) if b else None for b in bounds])
+                elif meta.get("kb_kinds") is not None:
+                    # calibration ran with bounds support but no key
+                    # qualified: don't force another calibration for this
+                    cache[("fused_kbounds_dead", basekey)] = True
                 if n_sc:
                     counts = {si: int(c) for si, c in
-                              zip(meta["join_sis"], tail[1:])}
+                              zip(meta["join_sis"], tail[1 + n_kb:])}
                     cache[("fused_stepcaps", basekey)] = counts
                     capstore.put("stepcaps::" + repr((basekey, n)),
                                  {str(k2): v2 for k2, v2 in counts.items()})
                 self._perf_note(f"fused_agg calibrated group capacity "
                                 f"{cache[('fused_kg', basekey)]} (g={g}) "
                                 f"stepcounts={meta.get('join_sis', ())}/"
-                                f"{tail[1:]}")
+                                f"{tail[1 + n_kb:]} "
+                                f"kbounds={cache.get(('fused_kbounds', basekey))}")
                 return self._try_fused_agg(op, epi)
             if meta.get("mode") == "general":
                 if meta.get("epi") is not None:
@@ -1428,6 +2350,11 @@ class Executor:
                 self._check_fused_extras(meta, [
                     int(np.asarray(host[j]).reshape(-1)[0])
                     for j in range(off)])
+                if meta.get("has_oob"):
+                    oob_v = int(np.asarray(
+                        host[len(result) - 2 - n_sc]).reshape(-1)[0])
+                    if oob_v > 0:
+                        raise _KBoundsOverflow(oob_v)
                 if n_sc:
                     meta["last_stepcounts"] = {
                         si: int(np.asarray(
@@ -1440,6 +2367,8 @@ class Executor:
             # compaction opportunity exists, the NEXT execution rebuilds
             # compacted (steady state converges on run 2)
             self._learn_stepcaps(basekey, key, cache, meta, n)
+            if meta.get("kbounds_useless"):
+                cache[("fused_kbounds_dead", basekey)] = True
             return _ret(vt_out, applied)
         except _CompactOverflow:
             # the sample-estimated survivor bound was too small: permanently
@@ -1490,6 +2419,17 @@ class Executor:
             self._perf_note(f"fused_topk epilogue declined: "
                             f"{eo.args[0] if eo.args else ''}")
             cache[("fused_epi_decline", basekey)] = True
+            del cache[key]
+            return self._try_fused_agg(op, epi)
+        except _KBoundsOverflow as ko:
+            # group-key values fell outside the calibrated bounds (cannot
+            # happen within one table version; defensive): permanently drop
+            # the bounded dense path for this plan and rebuild general
+            self._perf_note(f"fused_agg key bounds exceeded "
+                            f"({ko.args[0] if ko.args else '?'} rows); "
+                            f"rebuilding without bounded dense")
+            cache[("fused_kbounds_dead", basekey)] = True
+            cache.pop(("fused_kbounds", basekey), None)
             del cache[key]
             return self._try_fused_agg(op, epi)
 
@@ -1556,11 +2496,15 @@ class Executor:
                 rem = rem // r
             codes.reverse()
             agg_cols: dict[int, SCol] = {}
+            offsets = meta.get("key_offsets") or [None] * len(op.group_by)
             for pos, cid in enumerate(op.group_by):
                 ktype, kdict, knullable = meta["key_templates"][pos]
                 code = codes[pos]
                 r = radices[pos]
                 valid = (code != (r - 1)) if knullable else None
+                if offsets[pos] is not None:
+                    # bounded dense codes are value - kmin (gb.bounded_gid)
+                    code = code + offsets[pos]
                 agg_cols[cid] = cpu_col(
                     ktype, code.astype(np.dtype(jnp_dtype(ktype))), valid, kdict)
             idx = off + 1
@@ -1836,6 +2780,9 @@ class Executor:
         return _time.perf_counter()
 
     def _run_join(self, op: L.Join) -> VTable:
+        fused = self._try_fused_chain(op)
+        if fused is not None:
+            return fused
         from . import device as dv
 
         lvt = self.run(op.left)
@@ -3237,6 +4184,11 @@ class _CompactOverflow(Exception):
 class _MidCompactOverflow(Exception):
     """Raised when a learned post-join survivor cap was exceeded (args:
     step index, observed count); the caller re-learns and rebuilds."""
+
+
+class _KBoundsOverflow(Exception):
+    """Raised when group-key values fell outside their calibrated bounds
+    (bounded dense gid); the caller drops the bounded path and rebuilds."""
 
 
 def _ovf_bitmask(sink):

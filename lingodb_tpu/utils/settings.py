@@ -104,3 +104,9 @@ PALLAS = Setting("system.pallas", "on")
 # optimizer + H2D prefetch with the current query's device execution
 # (reference: compilation runs inside scheduler tasks, Execution.cpp:294-325)
 OVERLAP = Setting("system.overlap", True, bool)
+# out-of-core streaming scans: when a query's scan columns exceed this many
+# bytes, dense scan+aggregate pipelines stream the base table in chunks
+# through HBM instead of uploading whole columns (reference analogue:
+# morsel-driven size-oblivious scans, LingoDBTable.cpp:360-470). Default
+# sized for a 16 GB v5e chip with working-set slack.
+DEVICE_BYTE_BUDGET = Setting("system.device_byte_budget", 10 << 30, int)
