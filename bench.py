@@ -52,12 +52,18 @@ CONFIGS = {
     "q18_sf10": (10.0, [18]),
     "all22_sf1": (1.0, list(range(1, 23))),
     "all22_sf10": (10.0, list(range(1, 23))),
+    # beyond-HBM ladder: SF100 lineitem subset (tools/tpchbig.py) streamed
+    # through the out-of-core chunked scan+aggregate; requires the
+    # pre-generated cache (tpch_sf100_*_li6) — the config records an error
+    # rather than spending the budget generating 600M rows
+    "q6_sf100": (100.0, [6]),
+    "q1_sf100": (100.0, [1]),
 }
 # cheapest-first so a budget/timeout cut still lands the ladder's core;
 # q10/q18 (heaviest warmups: multi-level aggregation rebuilds) run after
-# q3, all22 last
+# q3, all22 next, the out-of-core SF100 configs last
 MATRIX = ["q1_sf1", "q6_sf10", "q14_sf10", "q3_sf10", "q10_sf10",
-          "q18_sf10", "all22_sf1"]
+          "q18_sf10", "all22_sf1", "q6_sf100"]
 
 
 def _budget_left() -> float:
@@ -135,17 +141,31 @@ def _session(sf: float):
                 del _SESSIONS[k]
         t0 = time.time()
         s = ldb.create_in_memory()
-        tables = tpchgen.load_into(s, sf=sf)
+        if sf >= 30:
+            # beyond-HBM subset (lineitem q1/q6 columns only); must be
+            # pre-generated — generating 600M rows inside the bench budget
+            # would starve the rest of the matrix
+            from lingodb_tpu.tools import tpchbig
+            from lingodb_tpu.tools.tpchgen import _cache_dir
+
+            if not os.path.exists(os.path.join(
+                    _cache_dir(sf, 19920601) + "_li6", "schema.json")):
+                raise RuntimeError(
+                    f"sf{sf:g} lineitem-subset cache missing; generate with "
+                    f"tools.tpchbig.generate_cached({sf:g})")
+            n_rows = tpchbig.load_into(s, sf=sf).num_rows
+        else:
+            n_rows = tpchgen.load_into(s, sf=sf)["lineitem"].num_rows
         print(f"# sf={sf:g} load {time.time() - t0:.1f}s", file=sys.stderr,
               flush=True)
-        _SESSIONS[sf] = (s, tables["lineitem"].num_rows)
+        _SESSIONS[sf] = (s, n_rows)
     return _SESSIONS[sf]
 
 
 def run_config(name: str, floor_ms: float):
     sf, queries = CONFIGS[name]
     sf = float(os.environ.get("BENCH_SF", sf))
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    reps = int(os.environ.get("BENCH_REPS", "1" if sf >= 30 else "5"))
     hbm_gbps = float(os.environ.get("BENCH_HBM_GBPS", "819"))
 
     s, n_rows = _session(sf)
