@@ -887,6 +887,7 @@ class Executor:
                     join_preps[si] = prep
             finally:
                 self._in_fused_chain = False
+            self._propagate_sorted_probe(join_preps, sorted_cids)
             cache[prep_key] = join_preps
 
         from ..utils import capstore
@@ -935,8 +936,8 @@ class Executor:
                 obs = stepcaps.get(si)
                 if obs is None:
                     continue
-                capv = 1 << (max(4 * obs, dv.SMALL_ROWS) - 1).bit_length()
-                if capv <= size // 8:
+                capv = 1 << (max(2 * obs, dv.SMALL_ROWS) - 1).bit_length()
+                if capv <= size // 4:
                     mid_caps[si] = capv
                     size = capv
 
@@ -1606,6 +1607,34 @@ class Executor:
         host_map = {i: a for i, a in enumerate(acc)}
         return self._finish_fused_dense(op, host_map, meta, 0)
 
+    def _propagate_sorted_probe(self, join_preps, sorted_cids) -> None:
+        """A probe key that is a payload of an EARLIER unique-key INNER
+        join whose own probe rides a sorted base column is value-equal to
+        that base column on every unmasked row (the join predicate; rows
+        without a match are masked out of the pipeline). Substitute the
+        base column as the probe so the sorted-probe fast paths engage
+        (monotone windowed LUT gathers; the range-scatter semi/anti
+        membership check). Q18's semi probes o_orderkey — a payload of the
+        orders join — which IS l_orderkey on surviving rows."""
+        inner_by_build = {}
+        for si in sorted(join_preps):
+            p = join_preps[si]
+            if (p.get("kind") == "inner" and p.get("build_cid") is not None
+                    and p.get("probe_cid") in sorted_cids
+                    and p.get("probe_expr2") is None):
+                inner_by_build[p["build_cid"]] = (si, p["probe_expr"])
+        for si in sorted(join_preps):
+            p = join_preps[si]
+            pe = p.get("probe_expr")
+            if (isinstance(pe, ColRef) and not p.get("probe_sorted")
+                    and p.get("probe_expr2") is None
+                    and pe.cid in inner_by_build):
+                src_si, src_expr = inner_by_build[pe.cid]
+                if src_si < si:
+                    p["probe_expr"] = src_expr
+                    p["probe_cid"] = src_expr.cid
+                    p["probe_sorted"] = True
+
     def _subtree_max_rows(self, node):
         if isinstance(node, L.Scan):
             e = self.session.catalog.get_table(node.table)
@@ -1781,6 +1810,7 @@ class Executor:
                     cache[key] = "eager"
                     return None
                 join_preps[si] = prep
+            self._propagate_sorted_probe(join_preps, sorted_cids)
             cache[prep_key] = join_preps
         # single group key that rides the spine's clustered order (TPC-H
         # lineitem by l_orderkey after ReduceGroupByKeys) — directly, or
@@ -1894,8 +1924,8 @@ class Executor:
                 obs = stepcaps.get(si)
                 if obs is None:
                     continue
-                capv = 1 << (max(4 * obs, dv.SMALL_ROWS) - 1).bit_length()
-                if capv <= size // 8:
+                capv = 1 << (max(2 * obs, dv.SMALL_ROWS) - 1).bit_length()
+                if capv <= size // 4:
                     mid_caps[si] = capv
                     size = capv
 
@@ -2458,8 +2488,8 @@ class Executor:
             obs = counts.get(si)
             if obs is None:
                 continue
-            capv = 1 << (max(4 * obs, dv.SMALL_ROWS) - 1).bit_length()
-            if capv <= size // 8:
+            capv = 1 << (max(2 * obs, dv.SMALL_ROWS) - 1).bit_length()
+            if capv <= size // 4:
                 worth = True
                 size = capv
         cache[("fused_stepcaps", basekey)] = counts
@@ -4283,6 +4313,26 @@ def _fused_join_step(prep, args, env, mask, n):
         ok = jx.take(args[0], pc) == pimg
         return pc, ok
 
+    if (kind in ("semi", "anti") and nb > 0 and direct is None
+            and sorted_probe and pvalid is None
+            and not prep["residual"] and not prep["payloads"]):
+        # SORTED-probe existence check without per-probe binary search:
+        # searchsorted over n probes costs log2(nb) serialized rounds of
+        # random 1-D gathers (~19 ns/elem each — r4 measured; q18@SF10's
+        # 60M-probe semi spent ~8 s here). Flip the search: find each of
+        # the nb build keys' contiguous probe range (nb*log2(n) work),
+        # range-scatter +1/-1, and one hierarchical prefix sum marks every
+        # matching probe row. Three passes over the probe, total.
+        lo_ = jx.searchsorted(pimg, skeys, side="left")
+        hi_ = jx.searchsorted(pimg, skeys, side="right")
+        delta = jx.zeros((n + 1,), jx.int32)
+        delta = delta.at[lo_].add(1)
+        delta = delta.at[hi_].add(-1)
+        found = _cumsum1d(delta[:n]) > 0
+        if kind == "semi":
+            return found if mask is None else mask & found
+        nf = ~found
+        return nf if mask is None else mask & nf
     if prep.get("maxdup", 1) > 1 and nb > 0:
         # semi/anti over duplicate keys with residual: statically-unrolled
         # probe of up to maxdup candidates per key (searchsorted: direct maps
