@@ -245,11 +245,17 @@ class Executor:
         for c in op.cols:
             cols[c.cid] = dev[c.name]
         vt = VTable(cols, n)
-        pad = dev["__pad_mask__"]
-        if pad is not None:
-            vt = vt.select_mask(pad)  # drop mesh padding rows
+        # ONE combined compaction for pad + every pushed restriction: each
+        # select_mask costs a count sync + a gather over all columns (on a
+        # mesh, a GSPMD global gather) — evaluating restrictions on the
+        # full columns first is safe (pad rows hold zeros; excluded rows'
+        # predicate garbage is masked by the conjunction)
+        mask = dev["__pad_mask__"]
         for r in op.restrictions:
-            mask = sc.truth_mask(sc.eval_expr(r, vt.cols))
+            m = jnp.broadcast_to(
+                sc.truth_mask(sc.eval_expr(r, vt.cols)), (n,))
+            mask = m if mask is None else mask & m
+        if mask is not None:
             vt = vt.select_mask(mask)
         return vt
 
