@@ -1950,13 +1950,14 @@ class Executor:
                 if stored_kb is not None:
                     kbounds = [tuple(b) if b else None for b in stored_kb]
                     cache[("fused_kbounds", basekey)] = kbounds
-            if kbounds is None and len(op.group_by) >= 2:
+            if kbounds is None and op.group_by and not presorted_group:
                 # bounds are a calibration product; plans whose group
                 # capacity was already learned (or carried over from the
                 # capstore) never calibrated with bounds support — force
-                # ONE count-only run for multi-key groupings with integer
-                # keys (the Q7/Q9 year x nation shape; single high-card
-                # int keys like orderkey would only waste the run)
+                # ONE count-only run when an integer/date key could have a
+                # small learned range (Q7/Q9's year x nation, Q8's o_year).
+                # Presorted groupings are already sort-free; high-card keys
+                # just learn useless bounds once and set the dead flag.
                 ktypes = {c.cid: c.type for c in op.child.output_cols()}
                 force_cal = any(
                     ktypes[cid].kind in (K.INT, K.BIGINT, K.DATE)
