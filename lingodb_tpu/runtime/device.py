@@ -185,6 +185,8 @@ def demote_small(vt: VTable) -> VTable:
     downstream operators run without tunnel round trips."""
     if vt.num_rows >= SMALL_ROWS or vt.num_rows == 0:
         return vt
+    if vt.row_valid is not None:  # selection-vector tables stay on the mesh
+        return vt
     if not vtable_on_accel(vt):
         return vt
     host = fetch_vtable_np(vt)
@@ -205,7 +207,7 @@ def promote(vt: VTable) -> VTable:
             None if c.valid is None else jax.device_put(c.valid, accel),
             c.dictionary,
         )
-    return VTable(cols, vt.num_rows)
+    return VTable(cols, vt.num_rows, row_valid=vt.row_valid)
 
 
 def align_devices(a: VTable, b: VTable) -> tuple[VTable, VTable]:

@@ -105,7 +105,7 @@ class Executor:
 
             cs0 = compilestats.snapshot()
         with tracer.Trace("execution", "run_plan"):
-            vt = self.run(plan.child)
+            vt = self.run(plan.child).dense()
         if self.last_op_profile is not None:
             import sys
 
@@ -180,7 +180,9 @@ class Executor:
         if self.track_tuples is not None:
             # per-operator output cardinalities (reference: relalg.track_tuples
             # / subop.set_tracked_count, RelAlgOps.td:530, ExecutionContext.h:63)
-            self.track_tuples[id(op)] = vt.num_rows
+            self.track_tuples[id(op)] = (
+                vt.num_rows if vt.row_valid is None
+                else int(jnp.sum(vt.row_valid)))
         # small results migrate to the local CPU backend (runtime/device.py)
         if type(op).__name__ in ("Aggregate", "Select", "Join", "TopK", "Limit",
                                  "Distinct", "SetOp"):
@@ -256,8 +258,24 @@ class Executor:
                 sc.truth_mask(sc.eval_expr(r, vt.cols)), (n,))
             mask = m if mask is None else mask & m
         if mask is not None:
+            # on a mesh, compacting here is a global gather (survivor-count
+            # scaled); defer via a selection vector — the next keyed
+            # exchange drops dead rows for free (VTable.row_valid docstring)
+            if self._lazy_ok(n):
+                return VTable(cols, n, row_valid=mask)
             vt = vt.select_mask(mask)
         return vt
+
+    def _lazy_ok(self, n: int) -> bool:
+        """Whether a selection-vector (deferred-compaction) result is
+        worthwhile: only on an active mesh at exchange-scale row counts."""
+        from . import device as dv
+        from ..utils.settings import get_setting
+
+        if getattr(self, "_mode", "DEFAULT") == "DEBUG":
+            return False
+        return (dv.get_mesh() is not None
+                and n >= int(get_setting("system.shuffle_min_rows")))
 
     def _run_constrel(self, op: L.ConstRel) -> VTable:
         n = len(op.rows)
@@ -276,7 +294,11 @@ class Executor:
         if vt.num_rows == 0:
             return vt
         mask = sc.truth_mask(sc.eval_expr(op.predicate, vt.cols))
-        return vt.select_mask(jnp.broadcast_to(mask, (vt.num_rows,)))
+        mask = jnp.broadcast_to(mask, (vt.num_rows,))
+        if vt.row_valid is not None:
+            # dead rows' predicate garbage is masked by the conjunction
+            return VTable(vt.cols, vt.num_rows, row_valid=vt.row_valid & mask)
+        return vt.select_mask(mask)
 
     def _run_map(self, op: L.Map) -> VTable:
         vt = self.run(op.child)
@@ -284,17 +306,17 @@ class Executor:
         for info, expr in op.computed:
             c = sc._bcast(sc.eval_expr(expr, cols), vt.num_rows)
             cols[info.cid] = c
-        return VTable(cols, vt.num_rows)
+        return VTable(cols, vt.num_rows, row_valid=vt.row_valid)
 
     def _run_limit(self, op: L.Limit) -> VTable:
-        vt = self.run(op.child)
+        vt = self.run(op.child).dense()
         lo = min(op.offset, vt.num_rows)
         hi = min(op.offset + op.n, vt.num_rows)
         idx = jnp.arange(lo, hi, dtype=jnp.int64)
         return vt.take(idx, hi - lo)
 
     def _run_sort(self, op: L.Sort) -> VTable:
-        vt = self.run(op.child)
+        vt = self.run(op.child).dense()
         if vt.num_rows == 0:
             return vt
         dist = self._try_distributed_sort(op, vt)
@@ -353,7 +375,7 @@ class Executor:
         fused = self._try_fused_topk(op)
         if fused is not None:
             return fused
-        vt = self.run(op.child)
+        vt = self.run(op.child).dense()
         if vt.num_rows == 0:
             return vt
         perm = keymod.sort_permutation(
@@ -426,7 +448,7 @@ class Executor:
         return vt.take(perm[lo:hi], hi - lo)
 
     def _run_distinct(self, op: L.Distinct) -> VTable:
-        vt = self.run(op.child)
+        vt = self.run(op.child).dense()
         if vt.num_rows == 0:
             return vt
         grp = gb.group_rows([vt.col(c) for c in op.cids], vt.num_rows)
@@ -434,7 +456,7 @@ class Executor:
         return vt.take(rep, grp["num_groups"])
 
     def _run_materialize(self, op: L.Materialize) -> VTable:
-        return self.run(op.child)
+        return self.run(op.child).dense()
 
     def _run_iterref(self, op: L.IterRef) -> VTable:
         vt = self._iter_tables.get(op.holder.seq)
@@ -455,7 +477,7 @@ class Executor:
         for UNION: the working table holds only never-seen-before rows."""
         from . import device as dv
 
-        base = self.run(op.base)
+        base = self.run(op.base).dense()
         cur = VTable({c.cid: base.col(s) for c, s in zip(op.cols, op.lmap)},
                      base.num_rows)
         if op.distinct and cur.num_rows:
@@ -472,7 +494,7 @@ class Executor:
             prev = self._iter_tables.get(op.holder.seq)
             self._iter_tables[op.holder.seq] = cur
             try:
-                out = self.run(op.step)
+                out = self.run(op.step).dense()
             finally:
                 if prev is None:
                     self._iter_tables.pop(op.holder.seq, None)
@@ -519,7 +541,7 @@ class Executor:
         relalg.tmp / GetLocal lowering, RelAlgToSubOp.cpp)."""
         vt = self._tmp_results.get(id(op.holder))
         if vt is None:
-            vt = self.run(op.holder.plan)
+            vt = self.run(op.holder.plan).dense()
             self._tmp_results[id(op.holder)] = vt
         cols = {c.cid: vt.col(s) for s, c in op.mapping}
         return VTable(cols, vt.num_rows)
@@ -592,7 +614,7 @@ class Executor:
             # (global aggregate); its values broadcast to every probe row
             # (reference: GetScalarOp lowering via a single join,
             # SimplifyAggregations.cpp WrapAggrFuncPattern)
-            bvt = self.run(build_plan)
+            bvt = self.run(build_plan).dense()
             if bvt.num_rows > 1:
                 return None
             import jax as _jax
@@ -668,7 +690,7 @@ class Executor:
             pass  # fine: residual narrows `found` on the unique candidate
         # residual under left join also only narrows `found` (NULL-extend)
 
-        bvt = self.run(build_plan)
+        bvt = self.run(build_plan).dense()
         import jax as _jax
 
         def to_np(a):
@@ -1759,7 +1781,7 @@ class Executor:
             # ONCE and its columns feed the fused program like a scan — the
             # analogue of the reference scanning a pipeline breaker's result
             # buffer in the next pipeline (SubOpToControlFlow state scans)
-            base_vt = self.run(cur)
+            base_vt = self.run(cur).dense()
             # stash immediately: if ANY later check declines to fuse, the
             # eager fallback consumes this instead of re-executing the
             # subtree (pagerank-style loops under an aggregate ran twice)
@@ -2766,6 +2788,7 @@ class Executor:
         sharded = self._try_sharded_agg(op, vt)
         if sharded is not None:
             return sharded
+        vt = vt.dense()
         n = vt.num_rows
         key_cols = [vt.col(c) for c in op.group_by]
         if op.group_by:
@@ -2829,7 +2852,7 @@ class Executor:
         nl, nr = lvt.num_rows, rvt.num_rows
 
         if kind == "cross" and op.predicate is None:
-            return self._cross(lvt, rvt)
+            return self._cross(lvt.dense(), rvt.dense())
 
         # empty-side early outs (also avoid gathers from empty arrays)
         if nl == 0 or nr == 0:
@@ -2878,6 +2901,8 @@ class Executor:
         lkeys, rkeys, null_safe = extract_equi_keys(op.predicate, lcids, rcids)
 
         if not lkeys:
+            lvt, rvt = lvt.dense(), rvt.dense()
+            nl, nr = lvt.num_rows, rvt.num_rows
             # no equi keys: nested loop via cross-product pairs; large inputs
             # go through the blockwise driver so pair buffers never exceed
             # 2^26 (reference: morsel-wise nested-loop join — any size)
@@ -2885,13 +2910,17 @@ class Executor:
                 return self._chunked_nonequi_join(op, kind, lvt, rvt)
             pidx, bidx, total = _all_pairs(nl, nr)
         else:
-            lk, rk = [], []
-            for le, re_ in zip(lkeys, rkeys):
-                a = sc.eval_expr(le, lvt.cols)
-                b = sc.eval_expr(re_, rvt.cols)
-                a, b = _unify_string_keys(a, b)
-                lk.append(sc._bcast(a, nl))
-                rk.append(sc._bcast(b, nr))
+            def _eval_keys():
+                lk, rk = [], []
+                for le, re_ in zip(lkeys, rkeys):
+                    a = sc.eval_expr(le, lvt.cols)
+                    b = sc.eval_expr(re_, rvt.cols)
+                    a, b = _unify_string_keys(a, b)
+                    lk.append(sc._bcast(a, nl))
+                    rk.append(sc._bcast(b, nr))
+                return lk, rk
+
+            lk, rk = _eval_keys()
             if (kind in ("inner", "semi", "anti", "left", "mark", "single",
                          "full")
                     and op.null_aware is None):
@@ -2901,6 +2930,11 @@ class Executor:
                     self._perf_note(f"join strategy=sharded kind={kind} "
                                     f"nl={nl} nr={nr}")
                     return sharded
+            if lvt.row_valid is not None or rvt.row_valid is not None:
+                # non-sharded strategies index dense layouts
+                lvt, rvt = lvt.dense(), rvt.dense()
+                nl, nr = lvt.num_rows, rvt.num_rows
+                lk, rk = _eval_keys()
             fast = self._try_unique_key_join(op, kind, lvt, rvt, lk, rk,
                                              null_safe)
             if fast is None and kind == "inner":
@@ -3295,7 +3329,10 @@ class Executor:
         n_ax = mesh.shape[mesh.axis_names[0]]
         dest_p = sh.hash_dest(mesh, hp)
         dest_b = sh.hash_dest(mesh, hb)
-        valid_b = None
+        # selection vectors ride straight into the exchange: dead rows are
+        # dropped during packing, so deferred scan/join compaction costs
+        # nothing here (VTable.row_valid docstring)
+        valid_b = rvt.row_valid
         # sampled heavy-hitter split: when one shard would receive far more
         # probe rows than the mean, keys sampled as hot keep their probe rows
         # local and have their build rows replicated to every shard
@@ -3303,9 +3340,9 @@ class Executor:
         # LingoDBTable.cpp:409-455). Skipped for FULL joins: replicated
         # build rows would emit their unmatched NULL-extended row per shard.
         skewf = float(get_setting("system.shuffle_skew_factor"))
-        valid_p = None
+        valid_p = lvt.row_valid
         probe_split = False
-        recv = sh.dest_counts(mesh, dest_p).sum(axis=0)
+        recv = sh.dest_counts(mesh, dest_p, valid_p).sum(axis=0)
         if kind != "full" and recv.max() > skewf * max(float(recv.mean()), 1.0):
             step = max(1, nl // (1 << 16))
             samp = np.asarray(jax.device_get(hp[::step]))
@@ -3330,8 +3367,10 @@ class Executor:
                         for a in barrs]
                     dest_b = jnx.concatenate([
                         dest_b, jnx.repeat(jnx.arange(n_ax, dtype=jnx.int32), nh)])
+                    vb0 = (jnx.ones((nr,), jnx.bool_) if valid_b is None
+                           else valid_b)
                     valid_b = jnx.concatenate([
-                        ~heavy_b, jnx.ones((nh * n_ax,), jnx.bool_)])
+                        vb0 & ~heavy_b, jnx.take(vb0, rep)])
         # build-side heavy hitters (inner only): one hot build key would land
         # all its rows on a single shard. Mirror of the probe split with roles
         # swapped — hot build rows stay spread by position, the probe rows of
@@ -3341,7 +3380,7 @@ class Executor:
         # without duplicating outputs, and the probe split above already
         # covers keys hot on both sides.
         if kind == "inner" and not probe_split:
-            recv_b = sh.dest_counts(mesh, dest_b).sum(axis=0)
+            recv_b = sh.dest_counts(mesh, dest_b, valid_b).sum(axis=0)
             if recv_b.max() > skewf * max(float(recv_b.mean()), 1.0):
                 step = max(1, nr // (1 << 16))
                 samp = np.asarray(jax.device_get(hb[::step]))
@@ -3368,8 +3407,10 @@ class Executor:
                         dest_p = jnx.concatenate([
                             dest_p,
                             jnx.repeat(jnx.arange(n_ax, dtype=jnx.int32), nph)])
+                        vp0 = (jnx.ones((nl,), jnx.bool_) if valid_p is None
+                               else valid_p)
                         valid_p = jnx.concatenate([
-                            ~heavy_p, jnx.ones((nph * n_ax,), jnx.bool_)])
+                            vp0 & ~heavy_p, jnx.take(vp0, rep)])
         pv_ex, pouts, lp = sh.exchange(mesh, dest_p, [hp, pko] + parrs, valid_p)
         bv_ex, bouts, lb = sh.exchange(mesh, dest_b, [hb] + barrs, valid_b)
         hp_ex, pko_ex = pouts[0], pouts[1]
@@ -3389,17 +3430,21 @@ class Executor:
         else:
             pair_ok = pair_valid
         if kind == "inner":
-            out = VTable({**probe_pair.cols, **build_pair.cols}, glen)
-            return out.select_mask(pair_ok)
+            out = VTable({**probe_pair.cols, **build_pair.cols}, glen,
+                         row_valid=pair_ok)
+            return out if self._lazy_ok(glen) else out.dense()
         flags = sh.probe_flags(mesh, pair_ok, probe_idx, lp)
         if kind == "semi":
-            return probe_ex.select_mask(flags & pv_ex)
+            out = VTable(probe_ex.cols, n_ax * lp, row_valid=flags & pv_ex)
+            return out if self._lazy_ok(n_ax * lp) else out.dense()
         if kind == "anti":
-            return probe_ex.select_mask(~flags & pv_ex)
+            out = VTable(probe_ex.cols, n_ax * lp, row_valid=~flags & pv_ex)
+            return out if self._lazy_ok(n_ax * lp) else out.dense()
         if kind == "mark":
             cols = dict(probe_ex.cols)
             cols[op.mark_col.cid] = SCol(op.mark_col.type, flags, None)
-            return VTable(cols, n_ax * lp).select_mask(pv_ex)
+            out = VTable(cols, n_ax * lp, row_valid=pv_ex)
+            return out if self._lazy_ok(n_ax * lp) else out.dense()
         if kind == "single":
             # at most one build match per probe row (scalar-subquery shape):
             # pick the first passing pair's build payload per exchanged probe
@@ -3518,7 +3563,7 @@ class Executor:
                 flat_in.append(m)
             dest = sh.hash_dest(mesh, h)
             ex_valid, outs, _lp = sh.exchange(
-                mesh, dest, list(imgs) + rep_arrays + flat_in)
+                mesh, dest, list(imgs) + rep_arrays + flat_in, vt.row_valid)
             pos = ni + nr_
             flat_ex = []
             for k, arrs, _m in aggs_in:
@@ -3538,7 +3583,9 @@ class Executor:
             # proportional to local group counts, which also makes it
             # skew-proof (a hot key contributes one partial row per shard,
             # not its full row count).
-            v1 = sh.shard_put(mesh, jnx.ones((n,), jnx.bool_))[0]
+            v1 = sh.shard_put(
+                mesh, jnx.ones((n,), jnx.bool_)
+                if vt.row_valid is None else vt.row_valid)[0]
             imgs1 = [sh.shard_put(mesh, x)[0] for x in imgs]
             reps1 = [sh.shard_put(mesh, x)[0] for x in [h] + imgs + rep_arrays]
             aggs1 = [(k, [sh.shard_put(mesh, a)[0] for a in arrs],
@@ -3585,7 +3632,8 @@ class Executor:
                 val = val > 0
             dic = arg.dictionary if spec.fn in ("min", "max") else None
             cols[spec.out.cid] = SCol(spec.out.type, val, cnt > 0, dic)
-        return VTable(cols, glen).select_mask(gvalid)
+        out = VTable(cols, glen, row_valid=gvalid)
+        return out if self._lazy_ok(glen) else out.dense()
 
     def _cross(self, lvt: VTable, rvt: VTable) -> VTable:
         nl, nr = lvt.num_rows, rvt.num_rows
@@ -3600,8 +3648,8 @@ class Executor:
     def _run_setop(self, op: L.SetOp) -> VTable:
         from . import device as dv
 
-        lvt = self.run(op.left)
-        rvt = self.run(op.right)
+        lvt = self.run(op.left).dense()
+        rvt = self.run(op.right).dense()
         lvt, rvt = dv.align_devices(lvt, rvt)
         lcols = {c.cid: lvt.col(lc) for c, lc in zip(op.cols, op.lmap)}
         rcols = {c.cid: rvt.col(rc) for c, rc in zip(op.cols, op.rmap)}
@@ -3638,7 +3686,7 @@ class Executor:
     def _run_window(self, op: L.Window) -> VTable:
         from ..ops import window as winmod
 
-        vt = self.run(op.child)
+        vt = self.run(op.child).dense()
         return winmod.run_window(op, vt)
 
 

@@ -156,19 +156,43 @@ class SCol:
 
 @dataclass
 class VTable:
-    """Intermediate relational result: cid -> SCol, all of equal length."""
+    """Intermediate relational result: cid -> SCol, all of equal length.
+
+    row_valid is an optional selection vector (True = live row) used by the
+    eager mesh path: compacting a GSPMD-sharded table is a global gather
+    whose cost scales with survivor count (~86 s at 600 k rows on the
+    virtual 8-device host mesh, measured in benchtools/mesh_compact_bench),
+    while the keyed exchanges that sharded joins/aggregations run anyway
+    drop dead rows for free. So big sharded operators defer compaction by
+    carrying the mask instead — the TPU-mesh analogue of the reference's
+    morsel selection running filters before materializing
+    (reference: ScanBatchesTask restriction evaluation,
+    src/runtime/storage/LingoDBTable.cpp:360-470). Operators that need a
+    dense table call .dense()."""
 
     cols: dict[int, SCol] = field(default_factory=dict)
     num_rows: int = 0
+    row_valid: Optional[jax.Array] = None
 
     def col(self, cid: int) -> SCol:
         return self.cols[cid]
+
+    def dense(self) -> "VTable":
+        """Materialize the selection vector (global compaction). The slow
+        fallback — hot mesh operators consume row_valid directly instead."""
+        if self.row_valid is None:
+            return self
+        inner = VTable(self.cols, self.num_rows)
+        return inner.select_mask(self.row_valid)
 
     def take(self, idx, n: int, monotone: bool = False) -> "VTable":
         """Gather all columns with ONE device call (jitted pytree gather) on
         the accelerator; plain numpy fancy-indexing on host tables."""
         from ..ops.backend import any_jax
 
+        assert self.row_valid is None, \
+            "take() on a selection-vector VTable: call .dense() first " \
+            "(indices would address the padded layout)"
         arrays = {}
         obj_arrays = {}
         for cid, c in self.cols.items():
@@ -197,6 +221,9 @@ class VTable:
 
         if mask.ndim == 0:
             mask = xnp.broadcast_to(mask, (self.num_rows,))
+        if self.row_valid is not None:
+            mask = mask & self.row_valid
+            return VTable(self.cols, self.num_rows).select_mask(mask)
         n = int(xnp.sum(mask))
         if n == self.num_rows:
             return self
@@ -212,6 +239,8 @@ class VTable:
 
     def merge(self, other: "VTable") -> "VTable":
         assert self.num_rows == other.num_rows or not self.cols or not other.cols
+        assert other.row_valid is None or self.row_valid is other.row_valid
         cols = dict(self.cols)
         cols.update(other.cols)
-        return VTable(cols, max(self.num_rows, other.num_rows))
+        return VTable(cols, max(self.num_rows, other.num_rows),
+                      row_valid=self.row_valid)
