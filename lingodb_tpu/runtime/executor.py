@@ -624,6 +624,10 @@ class Executor:
             present = bvt.num_rows == 1
             for cid in sorted(needed):
                 c = bvt.col(cid)
+                if is_obj(c.data):
+                    # wide-decimal scalar (q22's avg(c_acctbal)): host object
+                    # values cannot enter the jitted program — eager path
+                    return None
                 data = np.asarray(_jax.device_get(c.data))[:1]
                 if not present:
                     data = np.zeros((1,), data.dtype)
@@ -764,12 +768,24 @@ class Executor:
         else:
             skeys_or_lut = skeys
 
-        # payload columns referenced downstream of this join
+        # payload columns referenced downstream of this join. Existence
+        # joins (semi/anti) without residual predicates emit no build
+        # columns — the join predicate's own key columns otherwise leak in
+        # via needed_cids and force pointless payload gathers (and block
+        # the ranges-based sorted-semi compaction)
         needed = needed_cids & build_cids
+        if jop.kind in ("semi", "anti") and not residual:
+            needed = set()
         payloads = []
         arrays = [skeys_or_lut]
         for cid in sorted(needed):
             c = bvt.col(cid)
+            if is_obj(c.data):
+                # wide-decimal payloads are host object arrays (Python
+                # ints): they cannot ride a device gather inside the fused
+                # program — eager join path handles them (q17's avg(qty)
+                # build side at SF1 crossed the wide threshold)
+                return None
             data = to_np(c.data)[row_ids]
             valid = None if c.valid is None else to_np(c.valid)[row_ids]
             arrays.append(data)
@@ -1097,10 +1113,24 @@ class Executor:
                         else:
                             prep = join_preps[si]
                             nargs = len(prep["arrays"])
-                            mask = _fused_join_step(
-                                prep, arrs[i:i + nargs], env, mask, cur_n)
+                            rsc = None
+                            if si in mid_caps:
+                                rsc = _sorted_semi_compact(
+                                    prep, arrs[i:i + nargs], env, mask,
+                                    cur_n, mid_caps[si], used_from[si + 1])
+                            if rsc is not None:
+                                env, mask, rsc_count = rsc
+                            else:
+                                mask = _fused_join_step(
+                                    prep, arrs[i:i + nargs], env, mask, cur_n)
                             i += nargs
-                            if si in join_sis:
+                            if rsc is not None:
+                                if si in join_sis:
+                                    step_counts.append(rsc_count)
+                                cur_n = mid_caps[si]
+                                extra = extra + (rsc_count,)
+                                extras_desc.append(("mid", si, mid_caps[si]))
+                            elif si in join_sis:
                                 if mask is None:
                                     step_counts.append(
                                         jnp.asarray(cur_n, jnp.int64))
@@ -1110,7 +1140,8 @@ class Executor:
                                 else:
                                     step_counts.append(
                                         jnp.sum(mask.astype(jnp.int64)))
-                            if (si in mid_caps and mask is not None
+                            if (rsc is None and si in mid_caps
+                                    and mask is not None
                                     and mask.ndim != 0):
                                 capv = mid_caps[si]
                                 env, mask, sel_count = _compact(
@@ -1206,11 +1237,25 @@ class Executor:
             nopallas = bool(cache.get(("fused_nopallas", basekey)))
             from . import exestore
 
+            # ranges-based sorted-semi compaction changes the traced program
+            # for eligible steps: vary the exe-store material ONLY then, so
+            # every other program keeps its cached executable
+            _ssc = tuple(
+                si for si in sorted(mid_caps)
+                if (join_preps[si]["kind"] == "semi"
+                    and join_preps[si].get("probe_sorted")
+                    and join_preps[si].get("direct") is None
+                    and not join_preps[si]["residual"]
+                    and not join_preps[si]["payloads"]
+                    and join_preps[si].get("probe_expr2") is None
+                    and join_preps[si].get("maxdup", 1) <= 1
+                    and join_preps[si]["nb"] > 0))
             exe_mat = (key,
                        tuple((tuple(a.shape), str(a.dtype)) for a in arrays),
                        compact_k, tuple(sorted(mid_caps.items())),
                        outcap, do_compact, nopallas,
-                       pgather.FORCE_PALLAS, dv.SMALL_ROWS)
+                       pgather.FORCE_PALLAS, dv.SMALL_ROWS) + (
+                           ("ssc", _ssc) if _ssc else ())
             exe_k = exestore.make_key(exe_mat)
             hit = exestore.get(exe_k)
             if hit is not None:
@@ -2087,10 +2132,24 @@ class Executor:
                         else:
                             prep = join_preps[si]
                             nargs = len(prep["arrays"])
-                            mask = _fused_join_step(
-                                prep, arrs[i:i + nargs], env, mask, cur_n)
+                            rsc = None
+                            if si in mid_caps:
+                                rsc = _sorted_semi_compact(
+                                    prep, arrs[i:i + nargs], env, mask,
+                                    cur_n, mid_caps[si], used_from[si + 1])
+                            if rsc is not None:
+                                env, mask, rsc_count = rsc
+                            else:
+                                mask = _fused_join_step(
+                                    prep, arrs[i:i + nargs], env, mask, cur_n)
                             i += nargs
-                            if si in join_sis:
+                            if rsc is not None:
+                                if si in join_sis:
+                                    step_counts.append(rsc_count)
+                                cur_n = mid_caps[si]
+                                extra = extra + (rsc_count,)
+                                extras_desc.append(("mid", si, mid_caps[si]))
+                            elif si in join_sis:
                                 # survivor count after every narrowing join:
                                 # rides the outputs so the engine LEARNS
                                 # where to compact (see mid_caps above)
@@ -2103,7 +2162,8 @@ class Executor:
                                 else:
                                     step_counts.append(
                                         jnp.sum(mask.astype(jnp.int64)))
-                            if (si in mid_caps and mask is not None
+                            if (rsc is None and si in mid_caps
+                                    and mask is not None
                                     and mask.ndim != 0):
                                 capv = mid_caps[si]
                                 env, mask, sel_count = _compact(
@@ -2273,12 +2333,26 @@ class Executor:
             # that shapes the traced program.
             from . import exestore
 
+            # ranges-based sorted-semi compaction changes the traced program
+            # for eligible steps: vary the exe-store material ONLY then, so
+            # every other program keeps its cached executable
+            _ssc = tuple(
+                si for si in sorted(mid_caps)
+                if (join_preps[si]["kind"] == "semi"
+                    and join_preps[si].get("probe_sorted")
+                    and join_preps[si].get("direct") is None
+                    and not join_preps[si]["residual"]
+                    and not join_preps[si]["payloads"]
+                    and join_preps[si].get("probe_expr2") is None
+                    and join_preps[si].get("maxdup", 1) <= 1
+                    and join_preps[si]["nb"] > 0))
             exe_mat = (key,
                        tuple((tuple(a.shape), str(a.dtype)) for a in arrays),
                        compact_k, tuple(sorted(mid_caps.items())),
                        cache.get(("fused_kg", basekey)), nopallas,
                        pgather.FORCE_PALLAS, dv.SMALL_ROWS,
-                       repr(kbounds), force_cal)
+                       repr(kbounds), force_cal) + (
+                           ("ssc", _ssc) if _ssc else ())
             exe_k = exestore.make_key(exe_mat)
             hit = exestore.get(exe_k)
             if hit is not None:
@@ -4302,6 +4376,80 @@ class _GatherOverflow(Exception):
 class _CapacityOverflow(Exception):
     """Raised when the true group count exceeded the learned static group
     capacity; the caller doubles the capacity and rebuilds."""
+
+
+def _sorted_semi_compact(prep, args, env, mask, n, capv, used_cols):
+    """Sorted-probe semi join immediately followed by a learned compaction:
+    emit the survivor positions DIRECTLY from the nb probe ranges instead of
+    marking membership over the n-row spine. The range-scatter + prefix-sum
+    formulation still paid three 60M-row passes on q18@SF10 (the 1024-lane
+    hierarchical cumsum lowers to a 10-step shift-add while loop, ~8.2 s
+    measured in the device trace); survivors of a semi with a SORTED probe
+    are a concatenation of <=nb contiguous, disjoint, ascending ranges, so
+    capv slots can be filled with nb*log2(n) + capv*log2(nb) work and one
+    capv-sized monotone gather — zero full-spine passes.
+
+    Returns (newenv, newmask, true_survivor_count) or None when the step
+    does not qualify (non-semi, unsorted probe, residual/payloads, NULLable
+    probe key). true_survivor_count may exceed capv — the extras check
+    raises _MidCompactOverflow and the program rebuilds, same contract as
+    _compact. (reference analogue: survivor-sized hash table build,
+    src/runtime/Hashtable.cpp:1-185)"""
+    import jax.numpy as jx
+
+    if (prep["kind"] != "semi" or prep.get("direct") is not None
+            or not prep.get("probe_sorted") or prep["residual"]
+            or prep["payloads"] or prep.get("probe_expr2") is not None
+            or prep.get("maxdup", 1) > 1):
+        return None
+    nb = prep["nb"]
+    if nb == 0 or nb > (1 << 22):
+        return None
+    c = sc.eval_expr(prep["probe_expr"], env)
+    c = sc._bcast(c, n)
+    if c.valid is not None:
+        return None
+    pimg = c.data.astype(jx.int64)
+    skeys = args[0]
+    lo_ = jx.searchsorted(pimg, skeys, side="left").astype(jx.int64)
+    hi_ = jx.searchsorted(pimg, skeys, side="right").astype(jx.int64)
+    lens = hi_ - lo_
+    starts = jx.cumsum(lens) - lens  # exclusive prefix (nb-sized: cheap)
+    total = starts[-1] + lens[-1]
+    t = jx.arange(capv, dtype=jx.int64)
+    # slot t belongs to the last range whose start <= t (empty ranges
+    # share their successor's start; 'right'-1 lands on the owning one)
+    r = jx.clip(jx.searchsorted(starts, t, side="right") - 1, 0, nb - 1)
+    pos = jx.take(lo_, r) + (t - jx.take(starts, r))
+    valid = t < jx.minimum(total, jx.int64(capv))
+    posc = jx.where(valid, pos, n - 1)  # sentinel-pad: conservative gather
+    newmask = valid
+    if mask is not None:
+        newmask = valid & (mask if mask.ndim == 0 else jx.take(mask, posc))
+    fetch = []
+    for cid, cc in env.items():
+        if cid not in used_cols or cc.data.ndim == 0:
+            continue
+        fetch.append(cc.data)
+        if cc.valid is not None:
+            fetch.append(cc.valid)
+    fetched = (pgather.take_fast_multi(fetch, posc, monotone=True,
+                                       conservative=True) if fetch else [])
+    fi = 0
+    newenv = {}
+    for cid, cc in env.items():
+        if cid not in used_cols or cc.data.ndim == 0:
+            newenv[cid] = cc
+            continue
+        data = fetched[fi]
+        fi += 1
+        valid2 = None
+        if cc.valid is not None:
+            valid2 = fetched[fi]
+            fi += 1
+        newenv[cid] = SCol(cc.type, data, valid2, cc.dictionary)
+    count = jx.maximum(total, jx.sum(newmask.astype(jx.int64)))
+    return newenv, newmask, count
 
 
 def _fused_join_step(prep, args, env, mask, n):

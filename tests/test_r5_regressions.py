@@ -151,3 +151,47 @@ def test_ovf_sink_restored_after_trace_failure():
     assert pgather._OVF_SINK is not None  # outer sink still installed
     outer.__exit__(None, None, None)
     assert pgather._OVF_SINK is None
+
+
+def test_wide_decimal_build_payload_declines_fusion(tiny_tpch):
+    """The r5 all-22 crash at q17: a fused join prep whose build side carries
+    a wide-decimal (host object array) payload tried jax.device_put on it.
+    The prep must decline so the eager path (which handles object columns)
+    runs. Differential vs sqlite3 pins the value."""
+    import sqlite3
+
+    from lingodb_tpu.tools import sqlite_oracle as so
+    from lingodb_tpu.tools import tpchgen
+
+    s = tiny_tpch
+    sql = open(os.path.join(QDIR, "17.sql")).read()
+    r1 = s.sql(sql)
+    r2 = s.sql(sql)
+    assert r1.format_rows() == r2.format_rows()
+    con = sqlite3.connect(":memory:")
+    tpchgen.to_sqlite(con, tpchgen.generate_cached(0.005, 19920601))
+    exp = con.execute(sql).fetchall()
+    ok, msg = so.rows_equal(so.our_rows(r1), exp, ordered=False)
+    assert ok, msg
+
+
+def test_wide_decimal_scalar_broadcast_declines_fusion(tiny_tpch, monkeypatch):
+    """The r5 all-22 crash at q22: a 1-row (scalar-subquery) build side whose
+    payload is a wide-decimal host object array (avg(c_acctbal)) was shipped
+    into the fused program via single_broadcast. The prep must decline.
+    Oracle: the same engine with fusion disabled."""
+    from lingodb_tpu.runtime.executor import Executor
+
+    s = tiny_tpch
+    sql = open(os.path.join(QDIR, "22.sql")).read()
+    fused1 = s.sql(sql).format_rows()
+    fused2 = s.sql(sql).format_rows()
+    assert fused1 == fused2
+    monkeypatch.setattr(
+        Executor, "_try_fused_agg",
+        lambda self, op, epi=None: (None, False) if epi is not None else None)
+    monkeypatch.setattr(Executor, "_try_fused_chain",
+                        lambda self, op, epi=None: None)
+    monkeypatch.setattr(Executor, "_try_fused_topk", lambda self, op: None)
+    eager = s.sql(sql).format_rows()
+    assert fused1 == eager
