@@ -199,9 +199,17 @@ def demote_small(vt: VTable) -> VTable:
 def promote(vt: VTable) -> VTable:
     """Move a CPU-resident VTable to the accelerator (e.g. the small side of
     a join against an accelerator-resident table)."""
+    from .vtable import is_obj
+
     cpu, accel = devices()
     cols = {}
     for cid, c in vt.cols.items():
+        if is_obj(c.data):
+            # wide-decimal object columns are host-only by contract
+            # (vtable.dec_is_wide): they never upload (q22's avg(c_acctbal)
+            # scalar crashed here on the chip — device_put on dtype=object)
+            cols[cid] = c
+            continue
         cols[cid] = SCol(
             c.type, jax.device_put(c.data, accel),
             None if c.valid is None else jax.device_put(c.valid, accel),

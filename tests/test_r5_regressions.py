@@ -195,3 +195,21 @@ def test_wide_decimal_scalar_broadcast_declines_fusion(tiny_tpch, monkeypatch):
     monkeypatch.setattr(Executor, "_try_fused_topk", lambda self, op: None)
     eager = s.sql(sql).format_rows()
     assert fused1 == eager
+
+
+def test_promote_keeps_wide_decimal_columns_on_host():
+    """The r5 all-22 crash at q22 (third attempt, chip-only): align_devices
+    promoted a demoted 1-row scalar-subquery result back to the accelerator
+    and jax.device_put choked on the wide-decimal object column. promote()
+    must pass host object columns through untouched."""
+    import numpy as np
+
+    from lingodb_tpu.runtime import device as dv
+    from lingodb_tpu.runtime.vtable import SCol, VTable
+    from lingodb_tpu.sql.types import Type, K
+
+    wide = Type(K.DECIMAL, p=22, s=6)
+    obj = np.array([int(10**20)], dtype=object)
+    vt = VTable({1: SCol(wide, obj, None, None)}, 1)
+    out = dv.promote(vt)
+    assert out.col(1).data is obj
