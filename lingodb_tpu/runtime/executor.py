@@ -710,6 +710,23 @@ class Executor:
             if bk2.valid is not None:
                 v2 = to_np(bk2.valid)
                 kvalid = v2 if kvalid is None else (kvalid & v2)
+        if build_expr2 is not None:
+            kd1 = to_np(bk.data).astype(np.int64)  # UNpacked first key
+            kv1 = None if bk.valid is None else to_np(bk.valid)
+            k1 = kd1 if kv1 is None else kd1[kv1]
+            if len(k1) == len(np.unique(k1)):
+                # the FIRST key alone is unique on the build side (q5/q7/q8:
+                # supplier joins add a nationkey equality to a unique
+                # suppkey): probe single-key — direct-LUT eligible — and
+                # verify the second equality as a residual on the gathered
+                # payload. The packed sparse composite otherwise forces the
+                # searchsorted probe: log2(nb) serialized rounds of
+                # spine-wide gathers (measured 1.26s of q5's 1.55s@SF1,
+                # a 16-round while loop in the device trace).
+                residual = residual + [
+                    Call("eq", [probe_expr2, build_expr2], Type.bool_(True))]
+                kdata, kvalid = kd1, kv1
+                probe_expr2 = build_expr2 = None
         keep = np.ones(len(kdata), bool) if kvalid is None else kvalid.copy()
         kept = kdata[keep]
         order = np.argsort(kept, kind="stable")

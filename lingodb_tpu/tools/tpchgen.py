@@ -257,9 +257,16 @@ def generate(sf: float = 0.01, seed: int = 19920601) -> dict[str, TableStorage]:
     n_li = len(l_order)
     l_linenum = np.concatenate([np.arange(1, k + 1) for k in n_lines_per])
     l_part = rng.integers(1, n_part + 1, n_li)
-    # supplier selected among the part's 4 partsupp suppliers
+    # supplier selected among the part's 4 partsupp suppliers — MUST use the
+    # same formula as the partsupp build above, or the (l_partkey,
+    # l_suppkey) pair never exists in partsupp and every partsupp x lineitem
+    # join (TPC-H q9, q20) is vacuously empty (spec 4.2.3: dbgen derives
+    # both from one PART_SUPP_BRIDGE; caught in round 5 when q9@SF1
+    # returned 0 rows and sqlite3 agreed — the differential suite cannot
+    # see a bug both sides share)
     j = rng.integers(0, 4, n_li)
-    l_supp = ((l_part + (j * ((n_supp // 4) + (l_part - 1) // n_supp))) % n_supp) + 1
+    stride_l = max(1, n_supp // 4)
+    l_supp = ((l_part - 1 + j * stride_l) % n_supp) + 1
     qty = rng.integers(1, 51, n_li)
     retail = p_retail[l_part - 1]
     extprice = qty * retail
@@ -320,7 +327,9 @@ def _cache_dir(sf: float, seed: int) -> str:
         os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), ".cache"),
     )
-    return os.path.join(root, f"tpch_sf{sf:g}_seed{seed}")
+    # _v2: lineitem (l_partkey, l_suppkey) pairs drawn from partsupp's
+    # actual bridge (pre-v2 caches have vacuously-empty q9/q20 joins)
+    return os.path.join(root, f"tpch_sf{sf:g}_seed{seed}_v2")
 
 
 def generate_cached(sf: float, seed: int) -> dict[str, TableStorage]:

@@ -213,3 +213,36 @@ def test_promote_keeps_wide_decimal_columns_on_host():
     vt = VTable({1: SCol(wide, obj, None, None)}, 1)
     out = dv.promote(vt)
     assert out.col(1).data is obj
+
+
+def test_lineitem_supplier_pairs_exist_in_partsupp():
+    """Generator self-check (the q9-empty bug): every lineitem
+    (l_partkey, l_suppkey) pair must exist in partsupp, as dbgen guarantees
+    (TPC-H spec 4.2.3) — otherwise every partsupp x lineitem join (q9, q20)
+    is vacuously empty and the sqlite differential cannot notice."""
+    import numpy as np
+
+    from lingodb_tpu.tools import tpchgen
+
+    t = tpchgen.generate_cached(0.01, 19920601)
+    ps_p = np.asarray(t["partsupp"].columns[0].data)
+    ps_s = np.asarray(t["partsupp"].columns[1].data)
+    li_p = np.asarray(t["lineitem"].columns[1].data)
+    li_s = np.asarray(t["lineitem"].columns[2].data)
+    bridge = set(zip(ps_p.tolist(), ps_s.tolist()))
+    pairs = set(zip(li_p.tolist(), li_s.tolist()))
+    missing = pairs - bridge
+    assert not missing, f"{len(missing)} lineitem pairs missing from partsupp"
+
+
+def test_q9_nonempty():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import lingodb_tpu as ldb
+    from lingodb_tpu.tools import tpchgen
+
+    s = ldb.create_in_memory()
+    tpchgen.load_into(s, sf=0.01)
+    r = s.sql(open(os.path.join(QDIR, "9.sql")).read())
+    assert len(r.format_rows()) > 0
